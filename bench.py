@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput of the TPU-native Neural ADMIXTURE engine.
+
+Headline metric (BASELINE.md): training samples/sec on a 1M-SNP workload
+(single chip). Baseline for ``vs_baseline`` is the reference architecture's
+throughput measured with torch on this host's CPU (the reference's own
+non-CUDA execution path), on an identical down-scaled workload, extrapolated
+per-step -- the only reference path runnable in this environment.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Workload: aim for the BASELINE.json north-star shape (1M SNPs), sized to
+# single-chip HBM. Overridable for smoke runs.
+M = int(os.environ.get("NA_BENCH_M", 1_000_000))
+N = int(os.environ.get("NA_BENCH_N", 4096))
+K = int(os.environ.get("NA_BENCH_K", 8))
+B = int(os.environ.get("NA_BENCH_B", 800))
+D = 8
+H = 1024
+EPOCHS_MEASURE = int(os.environ.get("NA_BENCH_EPOCHS", 3))
+TORCH_STEPS = int(os.environ.get("NA_BENCH_TORCH_STEPS", 3))
+
+
+def make_synthetic_packed(n, m, k, seed=0):
+    rng = np.random.default_rng(seed)
+    F = rng.uniform(0.05, 0.95, size=(k, m)).astype(np.float32)
+    Q = rng.dirichlet(np.ones(k) * 0.5, size=n).astype(np.float32)
+    # Sample genotypes in row blocks to bound host memory.
+    from neural_admixture_tpu.io.packed import pack_2bit_rows, packed_width
+    m_pad = ((m + 511) // 512) * 512
+    packed = np.empty((n, packed_width(m_pad)), dtype=np.uint8)
+    for i in range(0, n, 512):
+        probs = Q[i:i + 512] @ F
+        G = rng.binomial(2, np.clip(probs, 0, 1)).astype(np.uint8)
+        packed[i:i + 512] = pack_2bit_rows(G, m_pad=m_pad)
+    return packed, m_pad
+
+
+def bench_jax():
+    import jax
+    import optax
+
+    from neural_admixture_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
+    from neural_admixture_tpu.models import qp
+    from neural_admixture_tpu.train.engine import make_epoch_fn
+
+    packed, m_pad = make_synthetic_packed(N, M, K)
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(D, M)).astype(np.float32) * 0.01
+    P_init = rng.uniform(0.1, 0.9, size=(K, M)).astype(np.float32)
+
+    params = qp.init_params(jax.random.PRNGKey(0), V.T, P_init, H, [K],
+                            m_pad=m_pad)
+    tx = optax.adam(2e-3, b1=0.9, b2=0.95, eps=1e-8)
+    opt_state = tx.init(params)
+    col_mask = jax.numpy.asarray((np.arange(m_pad) < M).astype(np.float32))
+    pops = jax.numpy.zeros((N,), jax.numpy.int32)
+    packed_dev = jax.device_put(packed)
+
+    epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
+                             supervised_loss_weight=0.0)
+    key = jax.random.PRNGKey(42)
+
+    # Warm-up / compile epoch.
+    params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
+                                       col_mask, pops, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for e in range(EPOCHS_MEASURE):
+        key, ke = jax.random.split(key)
+        params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
+                                           col_mask, pops, ke)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    return N * EPOCHS_MEASURE / dt
+
+
+def bench_torch_baseline():
+    """Reference-architecture step in torch (CPU), per-step extrapolation."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    torch.manual_seed(0)
+    m = M
+    X = torch.randint(0, 3, (B, m), dtype=torch.uint8)
+
+    V = torch.nn.Parameter(torch.randn(m, D) * 0.01)
+    norm = torch.nn.RMSNorm(D, eps=1e-8)
+    common = torch.nn.Sequential(torch.nn.Linear(D, H), torch.nn.ReLU())
+    head = torch.nn.Linear(H, K)
+    dec = torch.nn.Linear(K, m, bias=False)
+    with torch.no_grad():
+        dec.weight.uniform_(0.1, 0.9)
+    params = ([V] + list(norm.parameters()) + list(common.parameters())
+              + list(head.parameters()) + list(dec.parameters()))
+    opt = torch.optim.Adam(params, lr=2e-3, betas=(0.9, 0.95))
+    lossf = torch.nn.BCELoss(reduction="sum")
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        x = X.float() / 2
+        x = torch.where(x == 1.5, torch.tensor(0.0), x)
+        q = torch.softmax(head(common(norm(x @ V))), dim=1)
+        rec = torch.clamp(dec(q), 0, 1)
+        loss = lossf(rec, x)
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            dec.weight.clamp_(0, 1)
+
+    step()  # warm-up
+    t0 = time.time()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.time() - t0
+    return B * TORCH_STEPS / dt
+
+
+def main():
+    sps = bench_jax()
+    base = None
+    if os.environ.get("NA_BENCH_NO_TORCH", "0") != "1":
+        base = bench_torch_baseline()
+    vs = (sps / base) if base else None
+    print(json.dumps({
+        "metric": f"train_samples_per_sec_{M//1000}kSNP_K{K}",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""CLI entry point: ``neural-admixture-tpu {train,infer}``.
+
+Drop-in flag surface of the reference CLI
+(/root/reference/neural_admixture/entry.py:20-67), including YAML config-file
+support (``--config file.yaml``; the reference uses configargparse with a
+YAML parser) and the same argument validation (:110-132).
+
+Differences, by design:
+  * no ``mp.spawn`` / NCCL process launch -- on TPU the runtime is SPMD per
+    host: multi-chip scaling comes from jax.sharding over a device mesh
+    (see neural_admixture_tpu.parallel), with one process per host started by
+    the TPU runtime, not by us;
+  * ``--num_gpus`` is accepted for compatibility and mapped to "number of
+    devices" semantics.
+"""
+import argparse
+import logging
+import os
+import sys
+import time
+from typing import List, Optional
+
+from .utils.logger import log, setup_logging
+from .utils.seeding import set_seed
+
+__version__ = "0.1.0"
+
+
+def _add_config_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--config", required=False, default=None, type=str,
+                        help="YAML file with default values for any flag.")
+
+
+def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
+    """configargparse-style YAML config support: values in the YAML file
+    become parser defaults (CLI flags still win)."""
+    if "--config" in argv:
+        import yaml
+        cfg_path = argv[argv.index("--config") + 1]
+        with open(cfg_path, "r") as fb:
+            cfg = yaml.safe_load(fb) or {}
+        parser.set_defaults(**cfg)
+
+
+def parse_train_args(argv: List[str]) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="neural-admixture train",
+        description="Rapid population clustering with autoencoders - training mode")
+    _add_config_arg(parser)
+    parser.add_argument("--epochs", required=False, type=int, default=250,
+                        help="Maximum number of epochs.")
+    parser.add_argument("--batch_size", required=False, default=800, type=int,
+                        help="Batch size.")
+    parser.add_argument("--learning_rate", required=False, default=20e-4,
+                        type=float, help="Learning rate.")
+    parser.add_argument("--seed", required=False, type=int, default=42, help="Seed")
+    parser.add_argument("--k", required=False, type=int,
+                        help="Number of populations/clusters.")
+    parser.add_argument("--min_k", required=False, type=int,
+                        help="Minimum number of populations/clusters (multi-head)")
+    parser.add_argument("--max_k", required=False, type=int,
+                        help="Maximum number of populations/clusters (multi-head)")
+    parser.add_argument("--hidden_size", required=False, default=1024, type=int,
+                        help="Dimension of first projection in encoder.")
+    parser.add_argument("--save_dir", required=True, type=str,
+                        help="Save model in this directory")
+    parser.add_argument("--data_path", required=True, type=str,
+                        help="Path containing the main data")
+    parser.add_argument("--name", required=True, type=str,
+                        help="Experiment/model name")
+    parser.add_argument("--supervised_loss_weight", required=False, default=100,
+                        type=float, help="Weight given to the supervised loss")
+    parser.add_argument("--pops_path", required=False, default="", type=str,
+                        help="Path containing the main data populations")
+    parser.add_argument("--n_components", required=False, type=int, default=8,
+                        help="Number of components to use for the SVD initialization.")
+    parser.add_argument("--num_gpus", required=False, default=0, type=int,
+                        help="Number of devices to be used in the execution.")
+    parser.add_argument("--threads", required=False, default=1, type=int,
+                        help="Number of threads to be used during execution.")
+    parser.add_argument("--no_progress", action="store_true",
+                        help="Disable the epoch progress bar.")
+    _apply_yaml_defaults(parser, argv)
+    return parser.parse_args(argv)
+
+
+def parse_infer_args(argv: List[str]) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="neural-admixture infer",
+        description="Rapid population clustering with autoencoders - inference mode")
+    _add_config_arg(parser)
+    parser.add_argument("--out_name", required=True, type=str,
+                        help="Name used to output files on inference mode.")
+    parser.add_argument("--save_dir", required=True, type=str,
+                        help="Load model from this directory.")
+    parser.add_argument("--data_path", required=True, type=str,
+                        help="Path containing the main data.")
+    parser.add_argument("--name", required=True, type=str,
+                        help="Trained experiment/model name.")
+    parser.add_argument("--batch_size", required=False, default=1024, type=int,
+                        help="Batch size.")
+    parser.add_argument("--seed", required=False, type=int, default=42, help="Seed")
+    parser.add_argument("--num_gpus", required=False, default=0, type=int,
+                        help="Number of devices to be used in the execution.")
+    parser.add_argument("--threads", required=False, default=1, type=int,
+                        help="Number of threads to be used during execution.")
+    _apply_yaml_defaults(parser, argv)
+    return parser.parse_args(argv)
+
+
+def print_banner(version: str = __version__) -> None:
+    try:
+        from colorama import Fore, Style, init
+        init(autoreset=True)
+        cyan, reset = Fore.CYAN, Style.RESET_ALL
+    except ImportError:
+        cyan = reset = ""
+    banner = f"""
+{cyan}
+    _   _                      _       ___  ____  __  __ _______   _________ _    _ _____  ______
+   | \\ | |                    | |     / _ \\|  _ \\|  \\/  |_   _\\ \\ / /__   __| |  | |  __ \\|  ____|
+   |  \\| | ___ _   _ _ __ __ _| |    / /_\\ | | | | \\  / | | |  \\ V /   | |  | |  | | |__) | |__
+   | . ` |/ _ \\ | | | '__/ _` | |    |  _  | | | | |\\/| | | |   > <    | |  | |  | |  _  /|  __|
+   | |\\  |  __/ |_| | | | (_| | |    | | | | |_| | |  | |_| |_ / . \\   | |  | |__| | | \\ \\| |____
+   |_| \\_|\\___|\\__,_|_|  \\__,_|_|    \\_| |_/____/|_|  |_|_____/_/ \\_\\  |_|   \\____/|_|  \\_\\______|
+{reset}
+                                  TPU-native engine — version {version}
+    """
+    log.info(banner)
+
+
+def _validate(mode: str, args: argparse.Namespace) -> None:
+    assert args.threads > 0, "Please select a valid number of threads (>0)."
+    assert args.seed >= 0, "Please select a valid seed (>=0)."
+    assert args.num_gpus >= 0, "Number of devices must be >= 0."
+    assert args.batch_size > 0, "Batch size must be > 0."
+    if mode == "train":
+        assert args.epochs > 0, "Number of epochs must be > 0."
+        assert args.learning_rate > 0, "Learning rate must be > 0."
+        assert args.hidden_size > 0, "Hidden size must be > 0."
+        assert args.supervised_loss_weight >= 0, \
+            "Supervised loss weight must be >= 0."
+        assert args.n_components > 0, \
+            "Number of components for SVD must be > 0."
+        if args.k is not None:
+            assert args.k > 1, "Please select K > 1."
+            log.info(f"    Running on K = {args.k}.")
+        elif args.min_k is not None and args.max_k is not None:
+            assert args.min_k > 1, "min_k must be greater than 1."
+            assert args.max_k > args.min_k, "max_k must be greater than min_k."
+            log.info(f"    Running from K={args.min_k} to K={args.max_k}.")
+        else:
+            raise ValueError("Please provide either --k or both --min_k and --max_k.")
+
+
+def _pin_threads(threads: int) -> None:
+    for var in ("NUMEXPR_MAX_THREADS", "NUMEXPR_NUM_THREADS", "MKL_MAX_THREADS",
+                "MKL_NUM_THREADS", "OPENBLAS_MAX_THREADS", "OPENBLAS_NUM_THREADS",
+                "OMP_MAX_THREADS", "OMP_NUM_THREADS"):
+        os.environ[var] = str(threads)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    setup_logging(logging.INFO)
+    print_banner()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    assert len(argv) > 0, ('Please provide either the argument "train" or '
+                           '"infer" to choose running mode.')
+    mode = argv[0]
+    if mode == "train":
+        args = parse_train_args(argv[1:])
+    elif mode == "infer":
+        args = parse_infer_args(argv[1:])
+    else:
+        raise AssertionError(
+            f'Unknown mode "{mode}". Please use "train" or "infer".')
+
+    _validate(mode, args)
+    t0 = time.time()
+    _pin_threads(args.threads)
+    log.info(f"    Using {args.threads} threads...")
+    set_seed(args.seed)
+
+    from .utils.platform import enable_compile_cache
+    enable_compile_cache()
+
+    if mode == "train":
+        from .train.run import main_train
+        return main_train(args, t0)
+    from .infer import main_infer
+    return main_infer(args, t0)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

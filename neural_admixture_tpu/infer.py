@@ -1,0 +1,87 @@
+"""Projective inference: run the trained encoder on new data, write .Q files.
+
+Mirrors /root/reference/neural_admixture/src/inference.py:16-102: load
+``{name}_config.json`` + the decoder-stripped weights, rebuild the encoder-only
+model (V comes from the checkpoint), batched forward, write ``{out_name}.{K}.Q``.
+"""
+import time
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from .io.packed import pack_with_padding
+from .io.snp_reader import read_data
+from .io.writers import load_checkpoint, load_config, write_outputs
+from .models import qp
+from .ops.pack import unpack_dosage_x
+from .utils.logger import log, setup_logging
+
+
+def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
+            ) -> List[np.ndarray]:
+    import jax
+
+    @jax.jit
+    def fwd(p, xb):
+        return qp.forward_infer(p, unpack_dosage_x(xb))
+
+    B = min(N, batch_size)
+    chunks = {f"k{k}": [] for k in sorted(ks)}
+    for i in range(0, N, B):
+        blk = jnp.asarray(packed[i:i + B])
+        n_real = blk.shape[0]
+        if n_real < B:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)], axis=0)
+        qs = fwd(params, blk)
+        for hk in chunks:
+            chunks[hk].append(np.asarray(qs[hk][:n_real]))
+    return [np.concatenate(chunks[f"k{k}"], axis=0) for k in sorted(ks)]
+
+
+def main_infer(args, t0: float) -> int:
+    setup_logging()
+    if args.num_gpus > 1:
+        raise ValueError(
+            "Multi-device inference is not supported. Please set --num_gpus "
+            "to 1 (single device) or 0 (CPU).")
+
+    try:
+        config = load_config(args.name, args.save_dir)
+    except FileNotFoundError:
+        log.error(f"    Config file ({args.save_dir}/{args.name}_config.json) "
+                  "not found. Make sure it is in the correct directory and "
+                  "with the correct name.")
+        return 1
+
+    log.info("    Model config file loaded. Loading weights...")
+    params = load_checkpoint(args.name, args.save_dir)
+    params = {k: v for k, v in params.items()}  # shallow copy; no decoders
+    log.info("")
+    log.info("    Model weights loaded.")
+    log.info("")
+
+    data, *_ = read_data(args.data_path)
+    N, M = data.shape
+    assert params["V"].shape[0] >= M, (
+        f"Data has {M} SNPs but the model was trained with "
+        f"{params['V'].shape[0]} (padded) SNP rows in V.")
+    packed, _ = pack_with_padding(data,
+                                  lane_multiple=params["V"].shape[0])
+
+    log.info("    Running inference...")
+    ks = [int(k) for k in config["ks"]]
+    Qs = infer_q(params, packed, N, ks, int(args.batch_size))
+    log.info("    Inference run successfully! Writing outputs...!")
+
+    if len(ks) == 1:
+        K, min_k, max_k = ks[0], None, None
+    else:
+        K, min_k, max_k = None, ks[0], ks[-1]
+    write_outputs(Qs, args.out_name, K, min_k, max_k, args.save_dir)
+
+    log.info("")
+    log.info(f"    Total elapsed time: {time.time() - t0:.2f} seconds.")
+    log.info("")
+    return 0

@@ -1,0 +1,96 @@
+"""Multi-format genotype reading with the reference's normalization semantics.
+
+Mirrors /root/reference/neural_admixture/src/snp_reader.py:12-110:
+  * dispatch on file suffix (.bed / .pgen / .vcf),
+  * validate biallelic coding: min == 0 and max in (2, 3),
+  * flip to minor-allele coding when the matrix-wide mean (missing included,
+    as in the reference) is >= 1.
+
+Deliberate deviation, documented: the reference flips with ``2 - G`` on uint8,
+which underflows missing genotypes (3 -> 255) (/root/reference/neural_admixture/
+src/snp_reader.py:110). We keep missing == 3 under the flip; on data without
+missing genotypes the outputs are identical.
+"""
+import sys
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logger import log, setup_logging
+from .bed import read_bed
+
+
+class SNPReader:
+    """Reads genotype data from BED / PGEN / VCF into (N, M) uint8 dosages."""
+
+    def _read_bed(self, file: str) -> np.ndarray:
+        log.info("    Input format is BED.")
+        return read_bed(file)
+
+    def _read_pgen(self, file: str) -> np.ndarray:
+        log.info("    Input format is PGEN.")
+        try:
+            import pgenlib as pg
+        except ImportError:
+            log.error("    Cannot read PGEN file as pgenlib is not installed.")
+            sys.exit(1)
+        # Same allele-pair summation as the reference
+        # (/root/reference/neural_admixture/src/snp_reader.py:47-71).
+        pgen_reader = pg.PgenReader(str.encode(file))
+        num_vars = pgen_reader.get_variant_ct()
+        num_samples = pgen_reader.get_raw_sample_ct()
+        calldata = np.empty((num_vars, 2 * num_samples), dtype=np.uint8)
+        pgen_reader.read_alleles_range(0, num_vars, calldata)
+        return np.ascontiguousarray((calldata[:, ::2] + calldata[:, 1::2]).T).astype(np.uint8)
+
+    def _read_vcf(self, file: str) -> np.ndarray:
+        log.info("    Input format is VCF.")
+        try:
+            import allel
+        except ImportError:
+            log.error("    Cannot read VCF file as scikit-allel is not installed.")
+            sys.exit(1)
+        f_tr = allel.read_vcf(file, fields=["calldata/GT"],
+                              types={"calldata/GT": "i1"}, fills={"calldata/GT": -1})
+        G = np.ascontiguousarray(np.sum(f_tr["calldata/GT"], axis=2, dtype=np.int8).T)
+        G[G < 0] = 3
+        return G.astype(np.uint8)
+
+    def read_data(self, file: str) -> np.ndarray:
+        file_extensions = Path(file).suffixes
+        if ".bed" in file_extensions:
+            G = self._read_bed(file)
+        elif ".pgen" in file_extensions:
+            G = self._read_pgen(file)
+        elif ".vcf" in file_extensions:
+            G = self._read_vcf(file)
+        else:
+            log.error("    Invalid format. Unrecognized file format. Make sure "
+                      "file ends with .bed, .pgen or .vcf .")
+            sys.exit(1)
+        assert int(G.min()) == 0 and int(G.max()) in (2, 3), \
+            "Only biallelic SNPs are supported. Please make sure multiallelic sites have been removed."
+        if G.mean() >= 1:
+            missing = G == 3
+            G = (2 - G.astype(np.int16)).astype(np.uint8)
+            G[missing] = 3
+        return G
+
+
+def read_data(tr_file: str, tr_pops_f: Optional[str] = None
+              ) -> Tuple[np.ndarray, Optional[List[str]], int, int]:
+    """Read genotypes (+ optional per-sample population labels).
+
+    Matches /root/reference/neural_admixture/src/utils.py:15-34.
+    """
+    setup_logging()
+    data = SNPReader().read_data(tr_file)
+    log.info(f"    Data contains {data.shape[0]} samples and {data.shape[1]} SNPs.")
+    if tr_pops_f:
+        log.info("    Population file provided!")
+        with open(tr_pops_f, "r") as fb:
+            pops = [p.strip() for p in fb.readlines()]
+    else:
+        pops = None
+    return data, pops, data.shape[0], data.shape[1]

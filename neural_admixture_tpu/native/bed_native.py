@@ -1,0 +1,86 @@
+"""ctypes bindings for the native host kernels (see bed_decode.cpp).
+
+Gracefully degrades: ``available()`` returns False when the library cannot
+be built (no compiler), and callers fall back to the NumPy paths.
+"""
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_f8p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        from .build import build
+        lib = ctypes.CDLL(str(build()))
+        lib.na_decode_bed.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+        lib.na_bed_to_packed.argtypes = [_u8p, _i64, _i64, _i64, _i64, _u8p]
+        lib.na_pack_2bit.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+        lib.na_loglikelihood.argtypes = [_u8p, _f8p, _f8p, _i64, _i64, _i64,
+                                         ctypes.c_double]
+        lib.na_loglikelihood.restype = ctypes.c_double
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_bed(B: np.ndarray, N: int) -> np.ndarray:
+    """SNP-major BED bytes (M, ceil(N/4)) -> (N, M) uint8 dosages."""
+    lib = _load()
+    B = np.ascontiguousarray(B, dtype=np.uint8)
+    M, nbytes = B.shape
+    out = np.empty((N, M), dtype=np.uint8)
+    lib.na_decode_bed(B, M, nbytes, N, out)
+    return out
+
+
+def bed_to_packed(B: np.ndarray, N: int, m_pad: int) -> np.ndarray:
+    """SNP-major BED bytes -> sample-major 2-bit packed (N, m_pad//4),
+    without materializing the (N, M) uint8 matrix."""
+    lib = _load()
+    B = np.ascontiguousarray(B, dtype=np.uint8)
+    M, nbytes = B.shape
+    assert m_pad % 4 == 0 and m_pad >= M
+    W = m_pad // 4
+    out = np.zeros((N, W), dtype=np.uint8)
+    lib.na_bed_to_packed(B, M, nbytes, N, W, out)
+    return out
+
+
+def pack_2bit(G: np.ndarray, m_pad: int) -> np.ndarray:
+    lib = _load()
+    G = np.ascontiguousarray(G, dtype=np.uint8)
+    N, M = G.shape
+    assert m_pad % 4 == 0 and m_pad >= M
+    W = m_pad // 4
+    out = np.zeros((N, W), dtype=np.uint8)
+    lib.na_pack_2bit(G, N, M, W, out)
+    return out
+
+
+def loglikelihood(G: np.ndarray, P: np.ndarray, Q: np.ndarray,
+                  eps: float = 1e-6) -> float:
+    lib = _load()
+    G = np.ascontiguousarray(G, dtype=np.uint8)
+    P = np.ascontiguousarray(P, dtype=np.float64)
+    Q = np.ascontiguousarray(Q, dtype=np.float64)
+    N, M = G.shape
+    K = P.shape[1]
+    assert Q.shape == (N, K) and P.shape == (M, K)
+    return float(lib.na_loglikelihood(G, P, Q, N, M, K, eps))

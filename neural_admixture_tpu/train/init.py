@@ -1,0 +1,92 @@
+"""P-matrix initialization.
+
+Unsupervised (mirrors /root/reference/neural_admixture/model/train.py:44-69):
+  1. project genotypes to PCA space in row blocks: X_pca = (G/2) @ V^T --
+     note the reference does NOT impute missing genotypes here (3/2 = 1.5
+     enters the projection); we reproduce that;
+  2. fit a full-covariance GMM per K in PCA space (ops.gmm);
+  3. P_k = clip(means_k @ V, 5e-6, 1 - 5e-6), rows concatenated over K
+     ascending.
+
+Supervised (mirrors /root/reference/neural_admixture/model/train.py:72-82):
+  P rows are per-population mean genotype vectors on the raw 0..2(+3) dosage
+  scale (not divided by 2, missing included in the mean -- faithful to the
+  reference).
+"""
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gmm import fit_gmm
+from ..ops.pack import unpack_genotypes
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("block_rows",))
+def _project_blocks(packed, Vt, block_rows: int):
+    """(N_pad, W) packed, Vt (D, 4W) -> (N_pad, D) = (A/2) @ Vt^T."""
+    n_pad = packed.shape[0]
+    nb = n_pad // block_rows
+    D = Vt.shape[0]
+
+    def body(i, out):
+        blk = jax.lax.dynamic_slice_in_dim(packed, i * block_rows, block_rows)
+        A = unpack_genotypes(blk).astype(jnp.float32) * 0.5
+        Xb = jnp.dot(A, Vt.T, precision=_PREC)
+        return jax.lax.dynamic_update_slice_in_dim(out, Xb, i * block_rows, 0)
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros((n_pad, D), jnp.float32))
+
+
+def project_pca(packed, V: np.ndarray, N: int, block_rows: int = 4096
+                ) -> jnp.ndarray:
+    """Project packed genotypes onto V (D, M): returns X_pca (N, D)."""
+    packed = jnp.asarray(packed)
+    n_pad = ((N + block_rows - 1) // block_rows) * block_rows
+    if n_pad != packed.shape[0]:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n_pad - packed.shape[0], packed.shape[1]),
+                               packed.dtype)], axis=0)
+    m_pad = packed.shape[1] * 4
+    Vt = jnp.asarray(V, jnp.float32)
+    if Vt.shape[1] != m_pad:
+        Vt = jnp.concatenate(
+            [Vt, jnp.zeros((Vt.shape[0], m_pad - Vt.shape[1]), jnp.float32)],
+            axis=1)
+    return _project_blocks(packed, Vt, block_rows)[:N]
+
+
+def init_p_unsupervised(packed, V: np.ndarray, N: int, M: int, ks: List[int],
+                        seed: int) -> np.ndarray:
+    """GMM-based P init. Returns (sum(ks), M) float32, rows per K ascending."""
+    X_pca = project_pca(packed, V, N)
+    Vj = jnp.asarray(V, jnp.float32)  # (D, M)
+    P_blocks = []
+    for K in sorted(ks):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), K)
+        res = fit_gmm(X_pca, K, key)
+        P_k = jnp.clip(jnp.dot(res.means, Vj, precision=_PREC),
+                       5e-6, 1.0 - 5e-6)
+        P_blocks.append(np.asarray(P_k))
+    return np.concatenate(P_blocks, axis=0)
+
+
+def encode_populations(pops: List[str], K: int) -> Tuple[np.ndarray, dict]:
+    """Map string population labels to 0..K-1 indices
+    (as /root/reference/neural_admixture/model/train.py:78-81)."""
+    ancestry_dict = {anc: idx for idx, anc in enumerate(sorted(np.unique(pops)))}
+    assert len(ancestry_dict) == K, (
+        f"Number of ancestries in training ground truth ({len(ancestry_dict)}) "
+        f"is not equal to the value of K ({K})")
+    y = np.asarray([ancestry_dict[p] for p in pops], dtype=np.int64)
+    return y, ancestry_dict
+
+
+def init_p_supervised(G: np.ndarray, y: np.ndarray, K: int) -> np.ndarray:
+    """Per-class mean genotype rows (K, M) float32, raw dosage scale."""
+    return np.vstack([G[y == idx, :].astype(np.float32).mean(axis=0)
+                      for idx in range(K)])

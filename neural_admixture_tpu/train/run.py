@@ -1,0 +1,85 @@
+"""Train-mode orchestration: read -> pack -> RSVD -> init P -> train -> save.
+
+Combines the responsibilities of the reference's entry/train orchestration
+(/root/reference/neural_admixture/entry.py:179-193,
+/root/reference/neural_admixture/src/main.py:19-46,
+/root/reference/neural_admixture/model/train.py:19-149) into one pipeline.
+"""
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..io.packed import pack_with_padding
+from ..io.snp_reader import read_data
+from ..io.writers import save_checkpoint, save_config, write_outputs
+from ..ops.loglikelihood import loglikelihood
+from ..ops.rsvd import rsvd
+from ..utils.logger import log, setup_logging
+from .engine import NeuralAdmixtureTrainer, TrainConfig
+from .init import encode_populations, init_p_supervised, init_p_unsupervised
+
+
+def main_train(args, t0: float) -> int:
+    setup_logging()
+    if args.k is not None:
+        K, min_k, max_k = int(args.k), None, None
+        ks = [K]
+    else:
+        K, min_k, max_k = None, int(args.min_k), int(args.max_k)
+        ks = list(range(min_k, max_k + 1))
+
+    data, pops, N, M = read_data(args.data_path, args.pops_path or None)
+
+    packed, m_pad = pack_with_padding(data)
+
+    log.info("")
+    log.info("    Running SVD...")
+    log.info("")
+    t_svd = time.time()
+    V = rsvd(packed, N, M, int(args.n_components), int(args.seed))
+    log.info(f"    Total time SVD: {time.time() - t_svd:.4f}s")
+    log.info("")
+
+    y_num = None
+    if pops is not None:
+        assert K is not None, "Supervised mode requires --k (a single K)."
+        log.info("")
+        log.info("    Running Supervised Mode...")
+        log.info("")
+        y_num, _ = encode_populations(pops, K)
+        P_init = init_p_supervised(data, y_num, K)
+    else:
+        log.info("")
+        log.info("    Running Gaussian Mixture in PCA subspace...")
+        log.info("")
+        P_init = init_p_unsupervised(packed, V, N, M, ks, int(args.seed))
+
+    cfg = TrainConfig(
+        epochs=int(args.epochs), batch_size=int(args.batch_size),
+        learning_rate=float(args.learning_rate), seed=int(args.seed),
+        hidden_size=int(args.hidden_size), n_components=int(args.n_components),
+        supervised_loss_weight=float(args.supervised_loss_weight), ks=ks,
+        progress=not getattr(args, "no_progress", False))
+    trainer = NeuralAdmixtureTrainer(cfg)
+    Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
+                                             pops=y_num)
+
+    # Log-likelihood report (reference: model/train.py:134-146).
+    for i, k in enumerate(sorted(ks)):
+        P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
+        Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
+        logl = loglikelihood(data, P64, Q64, k)
+        suffix = "" if K is not None else f" for K={k}"
+        log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
+
+    Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+    save_checkpoint(params, args.name, args.save_dir, strip_decoders=True)
+    save_config(args.name, args.save_dir, ks=sorted(ks),
+                num_features=V.shape[0], hidden_size=int(args.hidden_size))
+    write_outputs(Qs, args.name, K, min_k, max_k, args.save_dir, Ps)
+
+    log.info("")
+    log.info(f"    Total elapsed time: {time.time() - t0:.2f} seconds.")
+    log.info("")
+    return 0

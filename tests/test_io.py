@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from neural_admixture_tpu.io import bed, packed, snp_reader, writers
+from tests.conftest import DEMO_BED
+
+
+def _encode_bed_bytes(G):
+    """Encode a (N, M) dosage matrix into BED SNP-major bytes for testing."""
+    # dosage -> PLINK 2-bit code: 2->00, 3->01, 1->10, 0->11
+    code_of = {2: 0, 3: 1, 1: 2, 0: 3}
+    N, M = G.shape
+    nb = (N + 3) // 4
+    B = np.zeros((M, nb), dtype=np.uint8)
+    for m in range(M):
+        for n in range(N):
+            B[m, n // 4] |= code_of[int(G[n, m])] << (2 * (n % 4))
+    return B
+
+
+def test_decode_bed_numpy_roundtrip():
+    rng = np.random.default_rng(0)
+    G = rng.integers(0, 4, size=(13, 7)).astype(np.uint8)
+    B = _encode_bed_bytes(G)
+    out = bed.decode_bed_numpy(B, 13)
+    np.testing.assert_array_equal(out, G)
+
+
+def test_read_demo_bed_shape_and_values():
+    G = bed.read_bed(DEMO_BED)
+    assert G.shape == (105, 8451)
+    assert G.dtype == np.uint8
+    assert int(G.min()) == 0 and int(G.max()) <= 3
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(1)
+    G = rng.integers(0, 4, size=(9, 21)).astype(np.uint8)
+    pk = packed.pack_2bit_rows(G)
+    assert pk.shape == (9, 6)
+    out = packed.unpack_2bit_rows(pk, 21)
+    np.testing.assert_array_equal(out, G)
+
+
+def test_pack_with_padding_lane_aligned():
+    G = np.zeros((4, 1000), dtype=np.uint8)
+    pk, m_pad = packed.pack_with_padding(G, lane_multiple=512)
+    assert m_pad == 1024
+    assert pk.shape == (4, 256)
+
+
+def test_snp_reader_minor_allele_flip(tmp_path):
+    # mean >= 1 triggers a 2-G flip; missing must stay 3 (documented fix of
+    # the reference's uint8 underflow).
+    G = np.array([[2, 2, 3], [2, 1, 0]], dtype=np.uint8)
+    B = _encode_bed_bytes(G)
+    fileset = tmp_path / "t.bed"
+    with open(fileset, "wb") as f:
+        f.write(b"\x6c\x1b\x01")
+        f.write(B.tobytes())
+    with open(tmp_path / "t.fam", "w") as f:
+        f.write("a\nb\n")
+    out = snp_reader.SNPReader().read_data(str(fileset))
+    np.testing.assert_array_equal(
+        out, np.array([[0, 0, 3], [0, 1, 2]], dtype=np.uint8))
+
+
+def test_snp_reader_rejects_multiallelic(tmp_path):
+    G = np.array([[4, 0], [1, 2]], dtype=np.uint8)
+    # encode 4 is impossible in BED; write via monkeypatched reader instead
+    r = snp_reader.SNPReader()
+    r._read_bed = lambda f: G
+    with pytest.raises(AssertionError):
+        r.read_data("fake.bed")
+
+
+def test_write_outputs_and_checkpoint_roundtrip(tmp_path):
+    Qs = [np.random.rand(5, 3)]
+    Ps = [np.random.rand(11, 3)]
+    writers.write_outputs(Qs, "run", 3, None, None, str(tmp_path), Ps)
+    q = np.loadtxt(tmp_path / "run.3.Q")
+    p = np.loadtxt(tmp_path / "run.3.P")
+    np.testing.assert_allclose(q, Qs[0], rtol=1e-6)
+    np.testing.assert_allclose(p, Ps[0], rtol=1e-6)
+
+    params = {"V": np.ones((4, 2)),
+              "common": {"kernel": np.zeros((2, 3)), "bias": np.ones(3)},
+              "decoders": {"k3": np.ones((3, 4))}}
+    writers.save_checkpoint(params, "run", str(tmp_path))
+    loaded = writers.load_checkpoint("run", str(tmp_path))
+    assert "decoders" not in loaded  # stripped, like the reference .pt
+    np.testing.assert_array_equal(loaded["V"], params["V"])
+    np.testing.assert_array_equal(loaded["common"]["bias"],
+                                  params["common"]["bias"])
+
+    writers.save_config("run", str(tmp_path), [3], 8, 64)
+    cfg = writers.load_config("run", str(tmp_path))
+    assert cfg == {"ks": [3], "num_features": 8, "hidden_size": 64,
+                   "activation": "relu"}
