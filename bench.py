@@ -30,17 +30,15 @@ TORCH_STEPS = int(os.environ.get("NA_BENCH_TORCH_STEPS", 3))
 
 
 def make_synthetic_packed(n, m, k, seed=0):
+    """Random genotypes -- content does not affect throughput, so plain
+    uniform {0,1,2} keeps generation fast at biobank scale."""
     rng = np.random.default_rng(seed)
-    F = rng.uniform(0.05, 0.95, size=(k, m)).astype(np.float32)
-    Q = rng.dirichlet(np.ones(k) * 0.5, size=n).astype(np.float32)
-    # Sample genotypes in row blocks to bound host memory.
     from neural_admixture_tpu.io.packed import pack_2bit_rows, packed_width
-    m_pad = ((m + 511) // 512) * 512
+    m_pad = ((m + 2047) // 2048) * 2048
     packed = np.empty((n, packed_width(m_pad)), dtype=np.uint8)
-    for i in range(0, n, 512):
-        probs = Q[i:i + 512] @ F
-        G = rng.binomial(2, np.clip(probs, 0, 1)).astype(np.uint8)
-        packed[i:i + 512] = pack_2bit_rows(G, m_pad=m_pad)
+    for i in range(0, n, 1024):
+        G = rng.integers(0, 3, size=(min(1024, n - i), m), dtype=np.uint8)
+        packed[i:i + 1024] = pack_2bit_rows(G, m_pad=m_pad)
     return packed, m_pad
 
 
@@ -52,7 +50,13 @@ def bench_jax():
     enable_compile_cache()
 
     from neural_admixture_tpu.models import qp
-    from neural_admixture_tpu.train.engine import make_epoch_fn
+    from neural_admixture_tpu.ops import pack as pk
+    from neural_admixture_tpu.train.engine import (NeuralAdmixtureTrainer,
+                                                   make_epoch_fn)
+
+    pallas_env = os.environ.get("NA_BENCH_PALLAS")
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
+                  if pallas_env is None else pallas_env == "1")
 
     packed, m_pad = make_synthetic_packed(N, M, K)
     rng = np.random.default_rng(1)
@@ -63,37 +67,52 @@ def bench_jax():
                             m_pad=m_pad)
     tx = optax.adam(2e-3, b1=0.9, b2=0.95, eps=1e-8)
     opt_state = tx.init(params)
-    col_mask = jax.numpy.asarray((np.arange(m_pad) < M).astype(np.float32))
+    col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
+    if use_pallas:
+        perm = pk.planar_perm(m_pad)
+        params = NeuralAdmixtureTrainer._permute_params(params, perm)
+        packed_dev = jax.device_put(pk.packed_view_u32(packed))
+        col_mask = jax.numpy.asarray(col_mask_np[perm])
+    else:
+        packed_dev = jax.device_put(packed)
+        col_mask = jax.numpy.asarray(col_mask_np)
     pops = jax.numpy.zeros((N,), jax.numpy.int32)
-    packed_dev = jax.device_put(packed)
 
     epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
-                             supervised_loss_weight=0.0)
+                             supervised_loss_weight=0.0,
+                             use_pallas=use_pallas)
     key = jax.random.PRNGKey(42)
 
-    # Warm-up / compile epoch.
+    # Warm-up / compile epoch. NOTE: sync via a scalar value fetch --
+    # block_until_ready is a no-op on some experimental PJRT backends,
+    # and only an actual device->host read is a reliable barrier.
     params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
                                        col_mask, pops, key)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.time()
     for e in range(EPOCHS_MEASURE):
         key, ke = jax.random.split(key)
         params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
                                            col_mask, pops, ke)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.time() - t0
     return N * EPOCHS_MEASURE / dt
 
 
 def bench_torch_baseline():
-    """Reference-architecture step in torch (CPU), per-step extrapolation."""
+    """Reference-architecture step in torch (CPU).
+
+    Measured at min(M, 131072) SNPs and scaled linearly to M (every
+    M-proportional term dominates the step), keeping the baseline run
+    time-boxed at biobank scale.
+    """
     try:
         import torch
     except ImportError:
         return None
     torch.manual_seed(0)
-    m = M
+    m = min(M, 131072)
     X = torch.randint(0, 3, (B, m), dtype=torch.uint8)
 
     V = torch.nn.Parameter(torch.randn(m, D) * 0.01)
@@ -125,7 +144,7 @@ def bench_torch_baseline():
     for _ in range(TORCH_STEPS):
         step()
     dt = time.time() - t0
-    return B * TORCH_STEPS / dt
+    return (B * TORCH_STEPS / dt) * (m / M)
 
 
 def main():

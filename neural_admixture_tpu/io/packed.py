@@ -53,12 +53,12 @@ def unpack_2bit_rows(packed: np.ndarray, M: int) -> np.ndarray:
     return out.reshape(N, W * 4)[:, :M]
 
 
-def pack_with_padding(G: np.ndarray, lane_multiple: int = 512) -> Tuple[np.ndarray, int]:
+def pack_with_padding(G: np.ndarray, lane_multiple: int = 2048) -> Tuple[np.ndarray, int]:
     """Pack G with the SNP axis padded to a multiple of ``lane_multiple``.
 
-    512 genotypes = 128 bytes = one f32 lane row when the packed bytes are
-    viewed 4-per-int32, keeping downstream Pallas block shapes aligned.
-    Returns (packed, m_padded).
+    The default of 2048 genotypes = 512 bytes = 128 uint32 words matches the
+    planar tile of the fused Pallas kernels (ops.pack.PLANAR_TILE), keeping
+    every downstream block shape lane-aligned. Returns (packed, m_padded).
     """
     M = G.shape[1]
     m_padded = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple

@@ -11,6 +11,7 @@ XLA fuses the shifts/masks into the consumers; a Pallas fused
 unpack->matmul->BCE kernel lives in ops.fused (used on the hot path).
 """
 import jax.numpy as jnp
+import numpy as np
 
 
 def unpack_genotypes(packed: jnp.ndarray) -> jnp.ndarray:
@@ -28,5 +29,68 @@ def unpack_dosage_x(packed: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     X = X.float()/2 ; X[X == 1.5] = 0.0.
     """
     g = unpack_genotypes(packed)
+    x = g.astype(dtype) * dtype(0.5)
+    return jnp.where(g == jnp.uint8(3), dtype(0.0), x)
+
+
+# ---------------------------------------------------------------------------
+# Planar u32 layout -- the fused-kernel-friendly SNP ordering.
+#
+# Viewing the standard 2-bit packed bytes as little-endian uint32 words, word
+# w of a 2048-SNP tile holds original SNPs [t*2048 + 16w, t*2048 + 16w + 15].
+# Unpacking bit-field b of all 128 words of a tile yields a contiguous
+# (.., 128) lane vector -- concatenating the 16 fields gives the tile's
+# genotypes in "planar" order:
+#
+#     device slot t*2048 + b*128 + w  <->  original SNP t*2048 + 16*w + b
+#
+# Since every SNP-indexed quantity (V rows, P columns, the column mask) can be
+# pre-permuted once on the host, kernels unpack with 16 shift-and-mask ops and
+# ZERO lane shuffling. All M-reductions are permutation-invariant.
+# ---------------------------------------------------------------------------
+
+PLANAR_TILE = 2048  # SNPs per planar tile = 128 u32 words
+
+
+def planar_perm(m_pad: int, tile: int = PLANAR_TILE) -> np.ndarray:
+    """perm[device_slot] = original SNP index. m_pad must be a tile multiple.
+
+    Apply as ``V_planar = V[perm]``; invert with ``inverse_perm``.
+    """
+    assert m_pad % tile == 0, (m_pad, tile)
+    words = tile // 16
+    t = np.arange(m_pad) // tile
+    s = np.arange(m_pad) % tile
+    b, w = s // words, s % words
+    return (t * tile + 16 * w + b).astype(np.int64)
+
+
+def inverse_perm(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return inv
+
+
+def packed_view_u32(packed: np.ndarray) -> np.ndarray:
+    """(N, W) uint8 2-bit rows -> (N, W//4) little-endian uint32 words."""
+    assert packed.shape[-1] % 4 == 0
+    return np.ascontiguousarray(packed).view("<u4")
+
+
+def unpack_genotypes_planar(u32: jnp.ndarray,
+                            tile: int = PLANAR_TILE) -> jnp.ndarray:
+    """(B, W4) uint32 -> (B, 16*W4) genotypes in planar order."""
+    words = tile // 16
+    B, W4 = u32.shape
+    u = u32.reshape(B, W4 // words, words)
+    parts = [((u >> jnp.uint32(2 * b)) & jnp.uint32(3)) for b in range(16)]
+    g = jnp.concatenate(parts, axis=-1)  # (B, nT, tile)
+    return g.reshape(B, W4 * 16).astype(jnp.uint8)
+
+
+def unpack_dosage_x_planar(u32: jnp.ndarray, dtype=jnp.float32,
+                           tile: int = PLANAR_TILE) -> jnp.ndarray:
+    """Planar-order analogue of :func:`unpack_dosage_x` (missing -> 0)."""
+    g = unpack_genotypes_planar(u32, tile)
     x = g.astype(dtype) * dtype(0.5)
     return jnp.where(g == jnp.uint8(3), dtype(0.0), x)

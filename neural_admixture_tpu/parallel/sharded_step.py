@@ -1,0 +1,185 @@
+"""shard_map training step: data-parallel samples x SNP-sharded model.
+
+This is the multi-chip expression of the engine's step (SURVEY.md section 2.3,
+section 5 "long-context" row): the reference only has single-node DDP over
+NCCL; here the huge M axis is genuinely sharded:
+
+  per device (d, s) of the (data, snp) mesh:
+    xb_loc  (B/d_sz, W/s_sz)   packed batch block
+    V_loc   (M/s_sz, D)        rows of V            P(SNP, None)
+    P_k_loc (k, M/s_sz)        columns of each P    P(None, SNP)
+    encoder (RMSNorm, common MLP, heads)            replicated
+
+  forward:
+    Xp = psum_snp(X_loc @ V_loc)          -- one small (B_loc, D) collective
+    Q  = encoder(Xp)                      -- replicated over snp
+    bce_local = BCE(Q @ P_loc, X_loc)     -- no communication
+    loss = psum(bce_local, (data, snp)) [+ psum_data(ce_local / s_sz)]
+
+  backward (via jax.grad through the psums):
+    dP_loc needs no cross-snp communication; dV_loc gets its cross-shard
+    cotangent through the transpose of the psum; encoder grads come out
+    replication-consistent. Verified against the single-device step in
+    tests/test_sharded_step.py.
+
+The per-shard compute is the same code as the single-device engine -- either
+the XLA path or the fused Pallas kernels (ops.fused), which simply see the
+local block shapes.
+"""
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..models import qp
+from ..ops import fused
+from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
+from ..ops.pack import unpack_dosage_x, unpack_dosage_x_planar
+from .mesh import DATA_AXIS, SNP_AXIS, param_specs
+
+
+@jax.custom_vjp
+def _psum_snp(x):
+    """psum over the snp axis with the *mathematically correct* transpose.
+
+    The global loss is a sum of per-shard local losses, each consuming the
+    replicated psum result; the true cotangent of each shard's partial is
+    therefore the psum of the per-shard cotangents -- NOT the local cotangent
+    that plain AD-of-psum produces under shard_map. (Verified against the
+    single-device step in tests/test_sharded_step.py.)
+    """
+    return jax.lax.psum(x, SNP_AXIS)
+
+
+def _psum_snp_fwd(x):
+    return jax.lax.psum(x, SNP_AXIS), None
+
+
+def _psum_snp_bwd(_, g):
+    return (jax.lax.psum(g, SNP_AXIS),)
+
+
+_psum_snp.defvjp(_psum_snp_fwd, _psum_snp_bwd)
+
+
+def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
+                      supervised: bool, supervised_loss_weight: float,
+                      use_pallas: bool, n_snp: int):
+    """Local loss contribution of one device; global loss = psum of these."""
+    if use_pallas:
+        Xp_part = fused.packed_xv(xb, params["V"])
+    else:
+        X = unpack_dosage_x(xb)
+        Xp_part = X @ params["V"]
+    Xp = _psum_snp(Xp_part)
+
+    ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
+    h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
+    e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
+
+    loss = jnp.asarray(0.0, jnp.float32)
+    qs = {}
+    for hk in sorted(params["heads"]):
+        head = params["heads"][hk]
+        q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
+        qs[hk] = q
+        if use_pallas:
+            loss = loss + fused.fused_clamped_bce_sum(
+                q, params["decoders"][hk], xb, col_mask, row_weight)
+        else:
+            loss = loss + clamped_bce_sum(
+                q @ params["decoders"][hk], X, col_mask, row_weight)
+    if supervised:
+        # Q is replicated over the snp axis; divide so the (data, snp) psum
+        # counts each sample's CE exactly once.
+        hk0 = sorted(qs.keys())[0]
+        ce = softmax_cross_entropy_sum(qs[hk0], pops_batch, row_weight)
+        loss = loss + supervised_loss_weight * ce / n_snp
+    return loss
+
+
+def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
+                               supervised_loss_weight: float,
+                               use_pallas: bool):
+    """Build a (params, xb, row_w, col_mask, pops_b) -> (loss, grads) function
+    executed under shard_map on ``mesh``. Input/output shardings:
+      xb P(data, snp); row_w/pops_b P(data); col_mask P(snp);
+      params/grads per parallel.mesh.param_specs; loss replicated.
+    """
+    n_snp = mesh.shape[SNP_AXIS]
+    pspecs = param_specs(params_template)
+    local = partial(_shard_loss_local, supervised=supervised,
+                    supervised_loss_weight=supervised_loss_weight,
+                    use_pallas=use_pallas, n_snp=n_snp)
+
+    def per_device(params, xb, row_weight, col_mask, pops_batch):
+        # Differentiate the LOCAL loss only (under check_vma=False, psum
+        # transposes to psum, so differentiating a psum'd loss would scale
+        # every gradient by the device count). All cross-device accumulation
+        # is explicit and auditable below.
+        def local_loss(p):
+            return local(p, xb, row_weight, col_mask, pops_batch)
+
+        local_l, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(local_l, (DATA_AXIS, SNP_AXIS))
+        # Accumulate across the devices that share each parameter:
+        #   V rows / P columns are replicated over `data` only (the cross-snp
+        #   coupling of dV flows through _psum_snp's transpose);
+        #   encoder parameters are replicated over both axes.
+        grads = dict(grads)
+        grads["V"] = jax.lax.psum(grads["V"], DATA_AXIS)
+        grads["decoders"] = {hk: jax.lax.psum(v, DATA_AXIS)
+                             for hk, v in grads["decoders"].items()}
+        for name in ("rmsnorm", "common", "heads"):
+            grads[name] = jax.tree.map(
+                lambda v: jax.lax.psum(v, (DATA_AXIS, SNP_AXIS)), grads[name])
+        return loss, grads
+
+    return shard_map(
+        per_device, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, SNP_AXIS), P(DATA_AXIS),
+                  P(SNP_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), pspecs),
+        check_vma=False,
+    )
+
+
+def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
+                    batch: int = 1024):
+    """Full-data encoder pass with V SNP-sharded (inference needs only the
+    psum of X @ V partials; everything after is replicated)."""
+    unpack = unpack_dosage_x_planar if planar else unpack_dosage_x
+
+    def per_device(params, xb):
+        Xp = jax.lax.psum(unpack(xb) @ params["V"], SNP_AXIS)
+        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
+        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
+        e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
+        return {hk: jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
+                for hk, head in params["heads"].items()}
+
+    pspecs = param_specs(params)
+    fwd = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(pspecs, P(DATA_AXIS, SNP_AXIS)),
+        out_specs={hk: P(DATA_AXIS) for hk in params["heads"]},
+        check_vma=False,
+    ))
+
+    import numpy as np
+    d_sz = mesh.shape[DATA_AXIS]
+    B = max(d_sz, (min(N, batch) // d_sz) * d_sz)
+    chunks = {hk: [] for hk in params["heads"]}
+    for i in range(0, N, B):
+        blk = data_dev[i:i + B]
+        n_real = blk.shape[0]
+        if n_real < B:
+            padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)
+            blk = jnp.concatenate([blk, padb], axis=0)
+        qs = fwd(params, blk)
+        for hk in chunks:
+            chunks[hk].append(np.asarray(qs[hk][:n_real]))
+    return {hk: np.concatenate(chunks[hk], axis=0) for hk in chunks}

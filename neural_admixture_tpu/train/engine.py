@@ -12,6 +12,11 @@ TPU-first design differences from the reference (semantics preserved):
     padded and masked with zero row-weights;
   * batches are gathered from the 2-bit-packed resident genotype matrix and
     unpacked on the fly inside the step (no uint8 N x M matrix in HBM);
+  * on TPU, the M-plane work (X @ V, decode, BCE, their gradients) runs in
+    fused Pallas kernels over the packed uint32 words in planar SNP order
+    (ops.fused); the engine keeps V / P / column mask planar-permuted
+    internally and restores the original SNP order at every host boundary
+    (results, checkpoints, logging);
   * optimizer is optax.adam(b1=0.9, b2=0.95, eps=1e-8) -- same update rule as
     the reference's torch.optim.Adam(betas=(0.9, 0.95))
     (/root/reference/neural_admixture/model/neural_admixture.py:187-204);
@@ -31,8 +36,10 @@ import optax
 from tqdm.auto import tqdm
 
 from ..models import qp
+from ..ops import fused
+from ..ops import pack as pk
 from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
-from ..ops.pack import unpack_dosage_x
+from ..ops.pack import unpack_dosage_x, unpack_dosage_x_planar
 from ..utils.logger import log, setup_logging
 from ..utils.metrics import fst_table
 
@@ -51,15 +58,40 @@ class TrainConfig:
     ks: List[int] = field(default_factory=lambda: [3])
     log_every: int = 5
     progress: bool = True
+    use_pallas: Optional[bool] = None  # None = auto (on for TPU backends)
 
 
-def _loss_fn(params, packed_batch, row_weight, col_mask, pops_batch,
-             supervised: bool, supervised_loss_weight: float):
-    X = unpack_dosage_x(packed_batch)
-    recs, qs = qp.forward_train(params, X)
-    loss = jnp.asarray(0.0, jnp.float32)
-    for hk in recs:
-        loss = loss + clamped_bce_sum(recs[hk], X, col_mask, row_weight)
+def _use_pallas(cfg: TrainConfig) -> bool:
+    import os
+    if os.environ.get("NA_TPU_FORCE_PALLAS") in ("0", "1"):
+        return os.environ["NA_TPU_FORCE_PALLAS"] == "1"
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
+             supervised: bool, supervised_loss_weight: float,
+             use_pallas: bool):
+    if use_pallas:
+        Xp = fused.packed_xv(batch, params["V"])
+        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
+        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
+        e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
+        loss = jnp.asarray(0.0, jnp.float32)
+        qs = {}
+        for hk in sorted(params["heads"]):
+            head = params["heads"][hk]
+            q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
+            qs[hk] = q
+            loss = loss + fused.fused_clamped_bce_sum(
+                q, params["decoders"][hk], batch, col_mask, row_weight)
+    else:
+        X = unpack_dosage_x(batch)
+        recs, qs = qp.forward_train(params, X)
+        loss = jnp.asarray(0.0, jnp.float32)
+        for hk in recs:
+            loss = loss + clamped_bce_sum(recs[hk], X, col_mask, row_weight)
     if supervised:
         # Single-head supervised mode: CE over the (softmaxed) Q of the first
         # head, treated as logits -- faithful to the reference
@@ -71,13 +103,19 @@ def _loss_fn(params, packed_batch, row_weight, col_mask, pops_batch,
 
 
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
-                  supervised_loss_weight: float):
-    """Build the jitted one-epoch function (scan over shuffled batches)."""
+                  supervised_loss_weight: float, use_pallas: bool = False):
+    """Build the jitted one-epoch function (scan over shuffled batches).
+
+    Batch rows are padded up to a multiple of 8 (Pallas sublane alignment)
+    with sentinel indices carrying zero row-weight.
+    """
     nb = (N + batch_size - 1) // batch_size
     pad = nb * batch_size - N
+    b_round = ((batch_size + 7) // 8) * 8 if use_pallas else batch_size
 
     loss_fn = partial(_loss_fn, supervised=supervised,
-                      supervised_loss_weight=supervised_loss_weight)
+                      supervised_loss_weight=supervised_loss_weight,
+                      use_pallas=use_pallas)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, packed, col_mask, pops, key):
@@ -86,6 +124,10 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             perm = jnp.concatenate(
                 [perm, jnp.full((pad,), N, dtype=perm.dtype)])
         idx = perm.reshape(nb, batch_size)
+        if b_round != batch_size:
+            idx = jnp.concatenate(
+                [idx, jnp.full((nb, b_round - batch_size), N, idx.dtype)],
+                axis=1)
 
         def step(carry, idx_b):
             params, opt_state = carry
@@ -106,9 +148,15 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     return epoch_fn
 
 
-@partial(jax.jit, static_argnames=("n_real",))
-def _infer_batch(params, packed_batch, n_real: int):
+@jax.jit
+def _infer_batch(params, packed_batch):
     X = unpack_dosage_x(packed_batch)
+    return qp.forward_infer(params, X)
+
+
+@jax.jit
+def _infer_batch_planar(params, u32_batch):
+    X = unpack_dosage_x_planar(u32_batch)
     return qp.forward_infer(params, X)
 
 
@@ -124,24 +172,40 @@ class NeuralAdmixtureTrainer:
     def launch_training(self, P_init: np.ndarray, packed, V: np.ndarray,
                         M: int, N: int, pops: Optional[np.ndarray] = None
                         ) -> Tuple[List[np.ndarray], List[np.ndarray], Dict]:
-        """Train and return (Qs, Ps, params).
+        """Train and return (Qs, Ps, params). Ps and params are in the
+        original SNP order regardless of the internal device layout.
 
         Args:
           P_init: (sum(ks), M) initial P rows (ascending K groups).
-          packed: (N, W) uint8 2-bit packed genotypes (device or host).
+          packed: (N, W) uint8 2-bit packed genotypes (host numpy).
           V: (D, M) RSVD projection (transposed to (M, D) trainable param).
           pops: optional (N,) int labels enabling supervised mode.
         """
         cfg = self.cfg
-        packed = jnp.asarray(packed)
-        m_pad = packed.shape[1] * 4
-        col_mask = jnp.asarray(
-            (np.arange(m_pad) < M).astype(np.float32))
+        use_pallas = _use_pallas(cfg)
+        packed_np = np.asarray(packed)
+        m_pad = packed_np.shape[1] * 4
+        col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
+
+        self._perm = None
+        if use_pallas:
+            assert m_pad % pk.PLANAR_TILE == 0, \
+                f"m_pad={m_pad} must be a multiple of {pk.PLANAR_TILE} for " \
+                "the fused kernels (pack with pack_with_padding defaults)"
+            self._perm = pk.planar_perm(m_pad)
+            self._inv_perm = pk.inverse_perm(self._perm)
+            data_dev = jnp.asarray(pk.packed_view_u32(packed_np))
+            col_mask = jnp.asarray(col_mask_np[self._perm])
+        else:
+            data_dev = jnp.asarray(packed_np)
+            col_mask = jnp.asarray(col_mask_np)
 
         key = jax.random.PRNGKey(cfg.seed)
         key, k_init = jax.random.split(key)
         params = qp.init_params(k_init, np.asarray(V).T, P_init,
                                 cfg.hidden_size, self.ks, m_pad=m_pad)
+        if use_pallas:
+            params = self._permute_params(params, self._perm)
 
         tx = optax.adam(cfg.learning_rate, b1=0.9, b2=0.95, eps=1e-8)
         opt_state = tx.init(params)
@@ -150,7 +214,8 @@ class NeuralAdmixtureTrainer:
         pops_arr = jnp.asarray(pops if supervised else np.zeros(N),
                                dtype=jnp.int32)
         epoch_fn = make_epoch_fn(tx, N, min(cfg.batch_size, N), supervised,
-                                 cfg.supervised_loss_weight)
+                                 cfg.supervised_loss_weight,
+                                 use_pallas=use_pallas)
 
         if self.master:
             log.info("")
@@ -165,37 +230,55 @@ class NeuralAdmixtureTrainer:
         for epoch in epoch_iter:
             key, k_epoch = jax.random.split(key)
             params, opt_state, loss_sum = epoch_fn(
-                params, opt_state, packed, col_mask, pops_arr, k_epoch)
+                params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
             if self.master and epoch % log_every == 0:
                 log.info(f"            Loss in epoch {epoch:3d} is "
                          f"{float(loss_sum):,.0f}")
-        jax.block_until_ready(params)
+        # Sync via a scalar fetch: block_until_ready is a no-op on some
+        # experimental PJRT backends; a device->host read is a real barrier.
+        float(loss_sum)
         self.train_seconds = time.time() - t_train
 
-        Qs = self._infer_q(params, packed, N)
+        Qs = self._infer_q(params, data_dev, N, planar=use_pallas)
 
         if self.master:
             log.info("")
             log.info("    Training finished!")
             log.info("")
 
+        # Restore original SNP order for all host-visible artifacts.
+        if use_pallas:
+            params = self._permute_params(params, self._inv_perm)
         self.display_divergences(params, M)
         Ps = [np.asarray(params["decoders"][f"k{k}"]).T[:M].astype(np.float32)
               for k in self.ks]
         return Qs, Ps, params
 
-    def _infer_q(self, params, packed, N: int) -> List[np.ndarray]:
+    @staticmethod
+    def _permute_params(params: Dict, perm: np.ndarray) -> Dict:
+        """Apply a SNP-axis permutation to V (rows) and decoders (columns)."""
+        permj = jnp.asarray(perm)
+        new = dict(params)
+        new["V"] = params["V"][permj, :]
+        if "decoders" in params:
+            new["decoders"] = {hk: P[:, permj]
+                               for hk, P in params["decoders"].items()}
+        return new
+
+    def _infer_q(self, params, data_dev, N: int, planar: bool
+                 ) -> List[np.ndarray]:
         """Sequential full-data encoder pass at batch <= 1024
         (reference: model/neural_admixture.py:368-383)."""
         B = min(N, INFER_BATCH)
+        fwd = _infer_batch_planar if planar else _infer_batch
         chunks = {f"k{k}": [] for k in self.ks}
         for i in range(0, N, B):
-            blk = packed[i:i + B]
+            blk = data_dev[i:i + B]
             n_real = blk.shape[0]
             if n_real < B:
-                pad = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)
-                blk = jnp.concatenate([blk, pad], axis=0)
-            qs = _infer_batch(params, blk, B)
+                padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)
+                blk = jnp.concatenate([blk, padb], axis=0)
+            qs = fwd(params, blk)
             for hk in chunks:
                 chunks[hk].append(np.asarray(qs[hk][:n_real]))
         return [np.concatenate(chunks[f"k{k}"], axis=0) for k in self.ks]

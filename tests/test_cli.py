@@ -1,0 +1,47 @@
+"""CLI end-to-end on CPU: train (multi-head) -> files -> infer."""
+import numpy as np
+import pytest
+
+from neural_admixture_tpu.entry import main
+from tests.conftest import DEMO_BED
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_out")
+    rc = main(["train", "--min_k", "2", "--max_k", "3",
+               "--data_path", DEMO_BED, "--save_dir", str(out),
+               "--name", "cli_run", "--epochs", "2", "--seed", "42",
+               "--threads", "2", "--batch_size", "64", "--hidden_size", "64",
+               "--no_progress"])
+    assert rc == 0
+    return out
+
+
+def test_train_writes_all_artifacts(trained_dir):
+    for k in (2, 3):
+        Q = np.loadtxt(trained_dir / f"cli_run.{k}.Q")
+        P = np.loadtxt(trained_dir / f"cli_run.{k}.P")
+        assert Q.shape == (105, k)
+        assert P.shape == (8451, k)
+        np.testing.assert_allclose(Q.sum(axis=1), 1.0, rtol=1e-4)
+        assert P.min() >= 0 and P.max() <= 1
+    assert (trained_dir / "cli_run.npz").exists()
+    assert (trained_dir / "cli_run_config.json").exists()
+
+
+def test_infer_cli_reproduces_training_q(trained_dir):
+    rc = main(["infer", "--name", "cli_run", "--save_dir", str(trained_dir),
+               "--data_path", DEMO_BED, "--out_name", "proj",
+               "--threads", "2"])
+    assert rc == 0
+    for k in (2, 3):
+        Qp = np.loadtxt(trained_dir / f"proj.{k}.Q")
+        Q = np.loadtxt(trained_dir / f"cli_run.{k}.Q")
+        np.testing.assert_allclose(Qp, Q, atol=1e-6)
+
+
+def test_infer_missing_config_returns_error(tmp_path):
+    rc = main(["infer", "--name", "nope", "--save_dir", str(tmp_path),
+               "--data_path", DEMO_BED, "--out_name", "x", "--threads", "1"])
+    assert rc == 1
