@@ -181,7 +181,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     log.info(f"    Using {args.threads} threads...")
     set_seed(args.seed)
 
-    from .utils.platform import enable_compile_cache
+    from .utils.platform import enable_compile_cache, sync_platform_from_env
+    sync_platform_from_env()
     enable_compile_cache()
 
     if mode == "train":

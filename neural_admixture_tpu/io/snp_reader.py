@@ -49,8 +49,8 @@ class SNPReader:
         try:
             import allel
         except ImportError:
-            log.error("    Cannot read VCF file as scikit-allel is not installed.")
-            sys.exit(1)
+            from .vcf import read_vcf
+            return read_vcf(file)
         f_tr = allel.read_vcf(file, fields=["calldata/GT"],
                               types={"calldata/GT": "i1"}, fills={"calldata/GT": -1})
         G = np.ascontiguousarray(np.sum(f_tr["calldata/GT"], axis=2, dtype=np.int8).T)

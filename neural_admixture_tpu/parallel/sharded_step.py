@@ -174,7 +174,7 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
     B = max(d_sz, (min(N, batch) // d_sz) * d_sz)
     chunks = {hk: [] for hk in params["heads"]}
     for i in range(0, N, B):
-        blk = data_dev[i:i + B]
+        blk = data_dev[i:min(i + B, N)]
         n_real = blk.shape[0]
         if n_real < B:
             padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)

@@ -27,15 +27,17 @@ import sys
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 from tqdm.auto import tqdm
 
 from ..models import qp
+from ..parallel.mesh import DATA_AXIS, SNP_AXIS, make_mesh, shard_params
 from ..ops import fused
 from ..ops import pack as pk
 from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
@@ -59,6 +61,9 @@ class TrainConfig:
     log_every: int = 5
     progress: bool = True
     use_pallas: Optional[bool] = None  # None = auto (on for TPU backends)
+    # Device mesh (n_data, n_snp): None = auto (all devices data-parallel
+    # when more than one device is visible; single-device path otherwise).
+    mesh_shape: Optional[Tuple[int, int]] = None
 
 
 def _use_pallas(cfg: TrainConfig) -> bool:
@@ -103,19 +108,42 @@ def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
 
 
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
-                  supervised_loss_weight: float, use_pallas: bool = False):
+                  supervised_loss_weight: float, use_pallas: bool = False,
+                  mesh=None, params_template=None):
     """Build the jitted one-epoch function (scan over shuffled batches).
+
+    With ``mesh`` set, the loss/grad of each step runs under shard_map on the
+    (data, snp) mesh (parallel.sharded_step); batches are gathered globally
+    and constrained to P(data, snp). Requires ``params_template`` for specs.
 
     Batch rows are padded up to a multiple of 8 (Pallas sublane alignment)
     with sentinel indices carrying zero row-weight.
     """
     nb = (N + batch_size - 1) // batch_size
     pad = nb * batch_size - N
-    b_round = ((batch_size + 7) // 8) * 8 if use_pallas else batch_size
+    align = 8 if use_pallas else 1
+    if mesh is not None:
+        align = max(align, 1) * mesh.shape[DATA_AXIS] if use_pallas \
+            else mesh.shape[DATA_AXIS]
+    b_round = ((batch_size + align - 1) // align) * align
 
-    loss_fn = partial(_loss_fn, supervised=supervised,
-                      supervised_loss_weight=supervised_loss_weight,
-                      use_pallas=use_pallas)
+    if mesh is None:
+        loss_fn = partial(_loss_fn, supervised=supervised,
+                          supervised_loss_weight=supervised_loss_weight,
+                          use_pallas=use_pallas)
+
+        def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
+            return jax.value_and_grad(loss_fn)(
+                params, xb, row_weight, col_mask, pops_b)
+
+        batch_sharding = None
+    else:
+        from ..parallel.sharded_step import make_sharded_loss_and_grad
+        loss_and_grad = make_sharded_loss_and_grad(
+            mesh, params_template, supervised, supervised_loss_weight,
+            use_pallas)
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS, SNP_AXIS))
+        row_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, packed, col_mask, pops, key):
@@ -135,7 +163,12 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             safe = jnp.minimum(idx_b, N - 1)
             xb = jnp.take(packed, safe, axis=0)
             pops_b = jnp.take(pops, safe, axis=0)
-            loss, grads = jax.value_and_grad(loss_fn)(
+            if batch_sharding is not None:
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                row_weight = jax.lax.with_sharding_constraint(
+                    row_weight, row_sharding)
+                pops_b = jax.lax.with_sharding_constraint(pops_b, row_sharding)
+            loss, grads = loss_and_grad(
                 params, xb, row_weight, col_mask, pops_b)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -187,6 +220,8 @@ class NeuralAdmixtureTrainer:
         m_pad = packed_np.shape[1] * 4
         col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
 
+        mesh = self._pick_mesh(m_pad, use_pallas)
+
         self._perm = None
         if use_pallas:
             assert m_pad % pk.PLANAR_TILE == 0, \
@@ -194,10 +229,23 @@ class NeuralAdmixtureTrainer:
                 "the fused kernels (pack with pack_with_padding defaults)"
             self._perm = pk.planar_perm(m_pad)
             self._inv_perm = pk.inverse_perm(self._perm)
-            data_dev = jnp.asarray(pk.packed_view_u32(packed_np))
-            col_mask = jnp.asarray(col_mask_np[self._perm])
+            data_host = pk.packed_view_u32(packed_np)
+            col_mask_np = col_mask_np[self._perm]
         else:
-            data_dev = jnp.asarray(packed_np)
+            data_host = packed_np
+
+        if mesh is not None:
+            d_sz = mesh.shape[DATA_AXIS]
+            if N % d_sz:
+                data_host = np.concatenate(
+                    [data_host, np.zeros((d_sz - N % d_sz, data_host.shape[1]),
+                                         data_host.dtype)], axis=0)
+            data_dev = jax.device_put(
+                data_host, NamedSharding(mesh, P(DATA_AXIS, SNP_AXIS)))
+            col_mask = jax.device_put(
+                jnp.asarray(col_mask_np), NamedSharding(mesh, P(SNP_AXIS)))
+        else:
+            data_dev = jnp.asarray(data_host)
             col_mask = jnp.asarray(col_mask_np)
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -206,6 +254,8 @@ class NeuralAdmixtureTrainer:
                                 cfg.hidden_size, self.ks, m_pad=m_pad)
         if use_pallas:
             params = self._permute_params(params, self._perm)
+        if mesh is not None:
+            params = shard_params(params, mesh)
 
         tx = optax.adam(cfg.learning_rate, b1=0.9, b2=0.95, eps=1e-8)
         opt_state = tx.init(params)
@@ -215,7 +265,8 @@ class NeuralAdmixtureTrainer:
                                dtype=jnp.int32)
         epoch_fn = make_epoch_fn(tx, N, min(cfg.batch_size, N), supervised,
                                  cfg.supervised_loss_weight,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, mesh=mesh,
+                                 params_template=params)
 
         if self.master:
             log.info("")
@@ -239,7 +290,7 @@ class NeuralAdmixtureTrainer:
         float(loss_sum)
         self.train_seconds = time.time() - t_train
 
-        Qs = self._infer_q(params, data_dev, N, planar=use_pallas)
+        Qs = self._infer_q(params, data_dev, N, planar=use_pallas, mesh=mesh)
 
         if self.master:
             log.info("")
@@ -254,6 +305,25 @@ class NeuralAdmixtureTrainer:
               for k in self.ks]
         return Qs, Ps, params
 
+    def _pick_mesh(self, m_pad: int, use_pallas: bool):
+        """Resolve the device mesh: explicit cfg.mesh_shape, or all visible
+        devices data-parallel when more than one is present."""
+        shape = self.cfg.mesh_shape
+        if shape is None:
+            n_dev = jax.device_count()
+            if n_dev <= 1:
+                return None
+            shape = (n_dev, 1)
+        n_data, n_snp = shape
+        if n_data * n_snp <= 1:
+            return None
+        snp_quantum = pk.PLANAR_TILE if use_pallas else 4
+        assert m_pad % (n_snp * snp_quantum) == 0, (
+            f"m_pad={m_pad} is not divisible by n_snp={n_snp} x "
+            f"{snp_quantum}; choose a smaller snp mesh axis")
+        return make_mesh(n_data, n_snp,
+                         devices=jax.devices()[:n_data * n_snp])
+
     @staticmethod
     def _permute_params(params: Dict, perm: np.ndarray) -> Dict:
         """Apply a SNP-axis permutation to V (rows) and decoders (columns)."""
@@ -261,19 +331,24 @@ class NeuralAdmixtureTrainer:
         new = dict(params)
         new["V"] = params["V"][permj, :]
         if "decoders" in params:
-            new["decoders"] = {hk: P[:, permj]
-                               for hk, P in params["decoders"].items()}
+            new["decoders"] = {hk: Pk[:, permj]
+                               for hk, Pk in params["decoders"].items()}
         return new
 
-    def _infer_q(self, params, data_dev, N: int, planar: bool
-                 ) -> List[np.ndarray]:
+    def _infer_q(self, params, data_dev, N: int, planar: bool,
+                 mesh=None) -> List[np.ndarray]:
         """Sequential full-data encoder pass at batch <= 1024
         (reference: model/neural_admixture.py:368-383)."""
+        if mesh is not None:
+            from ..parallel.sharded_step import infer_q_sharded
+            qs = infer_q_sharded(mesh, params, data_dev, N, planar,
+                                 INFER_BATCH)
+            return [qs[f"k{k}"] for k in self.ks]
         B = min(N, INFER_BATCH)
         fwd = _infer_batch_planar if planar else _infer_batch
         chunks = {f"k{k}": [] for k in self.ks}
         for i in range(0, N, B):
-            blk = data_dev[i:i + B]
+            blk = data_dev[i:min(i + B, N)]
             n_real = blk.shape[0]
             if n_real < B:
                 padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)

@@ -4,6 +4,24 @@ import os
 _CACHE_SET = False
 
 
+def sync_platform_from_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative.
+
+    Some environments register a TPU PJRT plugin via sitecustomize and set
+    ``jax_platforms`` programmatically, which silently overrides a user's
+    ``JAX_PLATFORMS=cpu``. Re-assert the env var (no-op if the backend is
+    already initialized)."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+    try:
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except Exception:
+        pass
+
+
 def enable_compile_cache(path: str = "") -> None:
     """Enable JAX's persistent compilation cache.
 
