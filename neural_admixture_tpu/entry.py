@@ -80,6 +80,15 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",
                         help="Disable the epoch progress bar.")
+    parser.add_argument("--profile_dir", required=False, default=None,
+                        type=str, help="Write a jax.profiler trace of the "
+                        "training epochs to this directory.")
+    parser.add_argument("--checkpoint_every", required=False, default=0,
+                        type=int, help="Save a resumable training checkpoint "
+                        "every N epochs (0 = disabled).")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume training from the checkpoint in save_dir "
+                        "if one exists.")
     _apply_yaml_defaults(parser, argv)
     return parser.parse_args(argv)
 

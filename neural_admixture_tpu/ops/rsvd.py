@@ -93,16 +93,24 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     m_pad = packed.shape[1] * 4
     Omega = jnp.asarray(np.pad(Omega_np, ((0, m_pad - M), (0, 0))))
 
-    Y = _mul_A_omega(packed, Omega, block_rows)[:N]
+    # Large mixed-dtype GEMMs run on device over packed blocks; the small
+    # (N x k') QR and (k' x M) SVD run on the host (LAPACK) -- they are
+    # negligible FLOPs, and keeping them off-device avoids per-dataset-shape
+    # XLA compiles of QR/SVD (expensive on remote/tunneled backends).
+    Y = np.asarray(_mul_A_omega(packed, Omega, block_rows))[:N]
     for _ in range(power_iterations):
-        Q_y, _ = jnp.linalg.qr(Y, mode="reduced")
-        Qt = _pad_rows(Q_y, n_pad).T
-        B_tmp = _mul_Qt_A(Qt, packed, block_rows)          # (k', m_pad)
-        Y = _mul_A_omega(packed, B_tmp.T, block_rows)[:N]  # (N, k')
+        Q_y, _ = np.linalg.qr(Y, mode="reduced")
+        Qt = jnp.asarray(np.ascontiguousarray(
+            np.pad(Q_y, ((0, n_pad - N), (0, 0))).T))
+        B_tmp = np.asarray(_mul_Qt_A(Qt, packed, block_rows))   # (k', m_pad)
+        Y = np.asarray(_mul_A_omega(
+            packed, jnp.asarray(np.ascontiguousarray(B_tmp.T)),
+            block_rows))[:N]
 
-    Q, _ = jnp.linalg.qr(Y, mode="reduced")
-    Qt = _pad_rows(Q, n_pad).T
-    B = _mul_Qt_A(Qt, packed, block_rows)                  # (k', m_pad)
-    Ut, _St, Vt = jnp.linalg.svd(B[:, :M], full_matrices=False)
-    Vt = svd_flip(Vt, Ut)
-    return np.asarray(Vt[:k, :])
+    Q, _ = np.linalg.qr(Y, mode="reduced")
+    Qt = jnp.asarray(np.ascontiguousarray(
+        np.pad(Q, ((0, n_pad - N), (0, 0))).T))
+    B = np.asarray(_mul_Qt_A(Qt, packed, block_rows))           # (k', m_pad)
+    Ut, _St, Vt = np.linalg.svd(B[:, :M], full_matrices=False)
+    Vt = np.asarray(svd_flip(jnp.asarray(Vt), jnp.asarray(Ut)))
+    return Vt[:k, :].astype(np.float32)

@@ -64,6 +64,11 @@ class TrainConfig:
     # Device mesh (n_data, n_snp): None = auto (all devices data-parallel
     # when more than one device is visible; single-device path otherwise).
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Observability / resilience (absent in the reference, SURVEY.md section 5):
+    profile_dir: Optional[str] = None    # jax.profiler trace of the epochs
+    checkpoint_every: int = 0            # save resumable state every N epochs
+    checkpoint_path: Optional[str] = None
+    resume: bool = False                 # resume from checkpoint_path if present
 
 
 def _use_pallas(cfg: TrainConfig) -> bool:
@@ -274,10 +279,22 @@ class NeuralAdmixtureTrainer:
             log.info("")
 
         log_every = 2 if supervised else cfg.log_every
-        epoch_iter = range(cfg.epochs)
+        start_epoch = 0
+        if cfg.resume and cfg.checkpoint_path:
+            loaded = self._load_checkpoint(params, opt_state, key)
+            if loaded is not None:
+                start_epoch, params, opt_state, key = loaded
+                if self.master:
+                    log.info(f"    Resuming from epoch {start_epoch}.")
+
+        epoch_iter = range(start_epoch, cfg.epochs)
         if cfg.progress and self.master:
-            epoch_iter = tqdm(epoch_iter, desc="Epochs", file=sys.stderr)
+            epoch_iter = tqdm(epoch_iter, desc="Epochs", file=sys.stderr,
+                              initial=start_epoch, total=cfg.epochs)
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
         t_train = time.time()
+        loss_sum = None
         for epoch in epoch_iter:
             key, k_epoch = jax.random.split(key)
             params, opt_state, loss_sum = epoch_fn(
@@ -285,10 +302,21 @@ class NeuralAdmixtureTrainer:
             if self.master and epoch % log_every == 0:
                 log.info(f"            Loss in epoch {epoch:3d} is "
                          f"{float(loss_sum):,.0f}")
+            if (cfg.checkpoint_every and cfg.checkpoint_path
+                    and (epoch + 1) % cfg.checkpoint_every == 0):
+                self._save_checkpoint(epoch + 1, params, opt_state, key)
         # Sync via a scalar fetch: block_until_ready is a no-op on some
         # experimental PJRT backends; a device->host read is a real barrier.
-        float(loss_sum)
+        if loss_sum is not None:
+            float(loss_sum)
         self.train_seconds = time.time() - t_train
+        if cfg.profile_dir:
+            jax.profiler.stop_trace()
+        epochs_run = cfg.epochs - start_epoch
+        if self.master and epochs_run and self.train_seconds > 0:
+            sps = N * epochs_run / self.train_seconds
+            log.info(f"    Training throughput: {sps:,.0f} samples/s "
+                     f"({self.train_seconds:.2f}s for {epochs_run} epochs).")
 
         Qs = self._infer_q(params, data_dev, N, planar=use_pallas, mesh=mesh)
 
@@ -304,6 +332,42 @@ class NeuralAdmixtureTrainer:
         Ps = [np.asarray(params["decoders"][f"k{k}"]).T[:M].astype(np.float32)
               for k in self.ks]
         return Qs, Ps, params
+
+    def _save_checkpoint(self, epoch: int, params, opt_state, key) -> None:
+        """Serialize the full resumable training state (params including
+        decoders, optimizer moments, RNG key) -- a capability the reference
+        lacks (final-state-only save, SURVEY.md section 5)."""
+        leaves = [np.asarray(x) for x in jax.tree.leaves((params, opt_state))]
+        arrays = {f"leaf_{i}": a for i, a in enumerate(leaves)}
+        tmp = f"{self.cfg.checkpoint_path}.tmp.npz"
+        np.savez(tmp, epoch=np.int64(epoch), key=np.asarray(key), **arrays)
+        import os
+        os.replace(tmp, self.cfg.checkpoint_path)
+
+    def _load_checkpoint(self, params, opt_state, key):
+        import os
+        path = self.cfg.checkpoint_path
+        if not path or not os.path.exists(path):
+            return None
+        with np.load(path) as data:
+            epoch = int(data["epoch"])
+            new_key = jnp.asarray(data["key"], dtype=key.dtype)
+            leaves = [data[f"leaf_{i}"]
+                      for i in range(len(jax.tree.leaves((params, opt_state))))]
+        treedef = jax.tree.structure((params, opt_state))
+        new_params, new_opt = jax.tree.unflatten(treedef, leaves)
+
+        # Reproduce mesh shardings of the freshly initialized state; leave
+        # everything else uncommitted so jit may place it freely.
+        def _restore(tgt, src):
+            sharding = getattr(tgt, "sharding", None)
+            if isinstance(sharding, NamedSharding):
+                return jax.device_put(src, sharding)
+            return jnp.asarray(src)
+
+        new_params = jax.tree.map(_restore, params, new_params)
+        new_opt = jax.tree.map(_restore, opt_state, new_opt)
+        return epoch, new_params, new_opt, new_key
 
     def _pick_mesh(self, m_pad: int, use_pallas: bool):
         """Resolve the device mesh: explicit cfg.mesh_shape, or all visible

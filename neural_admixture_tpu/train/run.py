@@ -60,7 +60,13 @@ def main_train(args, t0: float) -> int:
         learning_rate=float(args.learning_rate), seed=int(args.seed),
         hidden_size=int(args.hidden_size), n_components=int(args.n_components),
         supervised_loss_weight=float(args.supervised_loss_weight), ks=ks,
-        progress=not getattr(args, "no_progress", False))
+        progress=not getattr(args, "no_progress", False),
+        profile_dir=getattr(args, "profile_dir", None),
+        checkpoint_every=int(getattr(args, "checkpoint_every", 0) or 0),
+        checkpoint_path=str(Path(args.save_dir) / f"{args.name}_ckpt.npz"),
+        resume=bool(getattr(args, "resume", False)))
+    if cfg.checkpoint_every or cfg.resume:
+        Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     trainer = NeuralAdmixtureTrainer(cfg)
     Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
                                              pops=y_num)

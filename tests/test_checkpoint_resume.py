@@ -1,0 +1,51 @@
+"""Mid-training checkpoint + resume: interrupted-and-resumed training must
+reproduce the uninterrupted run exactly (same RNG stream, params, moments)."""
+import numpy as np
+
+from neural_admixture_tpu.io.packed import pack_with_padding
+from neural_admixture_tpu.train.engine import NeuralAdmixtureTrainer, TrainConfig
+
+
+def _data(seed=0, N=48, M=500, D=4):
+    rng = np.random.default_rng(seed)
+    G = rng.integers(0, 4, size=(N, M)).astype(np.uint8)
+    V = rng.normal(size=(D, M)).astype(np.float32) * 0.1
+    P_init = rng.uniform(0.2, 0.8, size=(3, M)).astype(np.float32)
+    packed, _ = pack_with_padding(G)
+    return G, V, P_init, packed
+
+
+def _cfg(tmp_path, epochs, **kw):
+    return TrainConfig(epochs=epochs, batch_size=16, learning_rate=5e-3,
+                       seed=0, hidden_size=32, ks=[3], progress=False,
+                       checkpoint_path=str(tmp_path / "ck.npz"), **kw)
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    G, V, P_init, packed = _data()
+    N, M = G.shape
+
+    # Uninterrupted: 6 epochs.
+    tr = NeuralAdmixtureTrainer(_cfg(tmp_path / "a", 6))
+    (tmp_path / "a").mkdir()
+    Qs_full, Ps_full, _ = tr.launch_training(P_init.copy(), packed, V, M, N)
+
+    # Interrupted: 3 epochs with checkpointing, then resume to 6.
+    (tmp_path / "b").mkdir()
+    cfg1 = _cfg(tmp_path / "b", 3, checkpoint_every=3)
+    NeuralAdmixtureTrainer(cfg1).launch_training(P_init.copy(), packed, V, M, N)
+    cfg2 = _cfg(tmp_path / "b", 6, checkpoint_every=3, resume=True)
+    Qs_res, Ps_res, _ = NeuralAdmixtureTrainer(cfg2).launch_training(
+        P_init.copy(), packed, V, M, N)
+
+    np.testing.assert_allclose(Qs_res[0], Qs_full[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Ps_res[0], Ps_full[0], rtol=1e-5, atol=1e-6)
+
+
+def test_resume_without_checkpoint_starts_fresh(tmp_path):
+    G, V, P_init, packed = _data()
+    N, M = G.shape
+    cfg = _cfg(tmp_path, 2, resume=True)
+    Qs, Ps, _ = NeuralAdmixtureTrainer(cfg).launch_training(
+        P_init.copy(), packed, V, M, N)
+    assert Qs[0].shape == (N, 3)
