@@ -78,24 +78,31 @@ def bench_jax():
         col_mask = jax.numpy.asarray(col_mask_np)
     pops = jax.numpy.zeros((N,), jax.numpy.int32)
 
+    # Measure the production-dominant path: the loss-free epoch (the loss
+    # forward is only computed on logging epochs).
     epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
                              supervised_loss_weight=0.0,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, compute_loss=False,
+                             params_template=params)
     key = jax.random.PRNGKey(42)
 
-    # Warm-up / compile epoch. NOTE: sync via a scalar value fetch --
+    # NOTE: sync via a scalar value fetch from the updated params --
     # block_until_ready is a no-op on some experimental PJRT backends,
     # and only an actual device->host read is a reliable barrier.
+    def sync(params):
+        return float(jax.numpy.sum(params["rmsnorm"]["weight"]))
+
+    # Warm-up / compile epoch.
     params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
                                        col_mask, pops, key)
-    float(loss)
+    sync(params)
 
     t0 = time.time()
     for e in range(EPOCHS_MEASURE):
         key, ke = jax.random.split(key)
         params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
                                            col_mask, pops, ke)
-    float(loss)
+    sync(params)
     dt = time.time() - t0
     return N * EPOCHS_MEASURE / dt
 

@@ -1,0 +1,313 @@
+"""The consolidated multi-head M-plane training op.
+
+One custom-VJP op covers everything per training step that touches the
+(B, M) genotype plane, for ALL heads at once, so the 2-bit packed batch is
+read exactly three times per step (the reference reads multiple f32-sized
+planes per head, model/neural_admixture.py:404-431):
+
+  forward:
+    pass 1  xv kernel:        Xp = X @ V             (packed read #1)
+    (jnp)   encoder:          qs = softmax(heads(relu(common(rmsnorm(Xp)))))
+    pass L  loss kernel:      sum_k BCE(clip(q_k P_k), X)   [only on epochs
+            whose loss is logged -- DCE'd otherwise]
+  backward:
+    pass 2  dq kernel:        dq_k = draw_k @ P_k^T for all heads
+                                                     (packed read #2)
+    (jnp)   encoder VJP ->    d(enc params), dXp
+    pass 3  dp+dv kernel:     dP_k = q_k^T draw_k for all heads, and
+                              dV = X^T dXp          (packed read #3)
+
+The op returns (bce_loss_sum, qs); the supervised CE term is added outside
+in plain jnp (it only involves the tiny q matrices) and its gradient flows
+in through the qs cotangent. Gradient semantics match ops.loss exactly
+(torch BCE backward + boundary-inclusive clamp mask).
+
+``snp_axis``: when set (shard_map execution), psums are inserted at the two
+mathematically required points: the Xp partial sums in forward and the dXp
+cotangent in backward.
+"""
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import qp
+from .fused import (TM, TW, _draw_tile, _bce_terms, _interpret, _unpack_x,
+                    pick_tb)
+
+
+def _encoder_apply(enc_params, Xp, head_keys: List[str]):
+    ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
+    h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * enc_params["rmsnorm"]["weight"]
+    e = jax.nn.relu(h @ enc_params["common"]["kernel"]
+                    + enc_params["common"]["bias"])
+    return {hk: jax.nn.softmax(
+        e @ enc_params["heads"][hk]["kernel"] + enc_params["heads"][hk]["bias"],
+        axis=-1) for hk in head_keys}
+
+
+# --------------------------- pallas kernels --------------------------------
+
+
+def _xv_kernel(u_ref, v_ref, out_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    x = _unpack_x(u_ref[:])
+    out_ref[:] += jnp.dot(x, v_ref[:], preferred_element_type=jnp.float32)
+
+
+def _loss_kernel(n_heads):
+    def kernel(*refs):
+        q_refs = refs[:n_heads]
+        p_refs = refs[n_heads:2 * n_heads]
+        u_ref, cm_ref, rw_ref, out_ref = refs[2 * n_heads:]
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+        def _():
+            out_ref[0, 0] = 0.0
+
+        x = _unpack_x(u_ref[:])
+        mask_rw = cm_ref[:] * rw_ref[:]
+        total = 0.0
+        for q_ref, p_ref in zip(q_refs, p_refs):
+            _, _, elem = _bce_terms(q_ref[:], p_ref[:], x, mask_rw)
+            total += jnp.sum(elem)
+        out_ref[0, 0] += total
+    return kernel
+
+
+def _dq_kernel(n_heads):
+    def kernel(*refs):
+        q_refs = refs[:n_heads]
+        p_refs = refs[n_heads:2 * n_heads]
+        u_ref, cm_ref, rw_ref = refs[2 * n_heads:2 * n_heads + 3]
+        dq_refs = refs[2 * n_heads + 3:]
+        j = pl.program_id(1)
+
+        x = _unpack_x(u_ref[:])
+        mask_rw = cm_ref[:] * rw_ref[:]
+        for q_ref, p_ref, dq_ref in zip(q_refs, p_refs, dq_refs):
+            @pl.when(j == 0)
+            def _(dq_ref=dq_ref):
+                dq_ref[:] = jnp.zeros_like(dq_ref)
+            draw = _draw_tile(q_ref[:], p_ref[:], x, mask_rw)
+            dq_ref[:] += jax.lax.dot_general(
+                draw, p_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return kernel
+
+
+def _dp_dv_kernel(n_heads):
+    def kernel(*refs):
+        q_refs = refs[:n_heads]
+        p_refs = refs[n_heads:2 * n_heads]
+        u_ref, cm_ref, rw_ref, dxp_ref, g_ref = \
+            refs[2 * n_heads:2 * n_heads + 5]
+        dp_refs = refs[2 * n_heads + 5:-1]
+        dv_ref = refs[-1]
+        i = pl.program_id(1)
+
+        x = _unpack_x(u_ref[:])
+        mask_rw = cm_ref[:] * rw_ref[:]
+        g = g_ref[0, 0]
+        for q_ref, p_ref, dp_ref in zip(q_refs, p_refs, dp_refs):
+            @pl.when(i == 0)
+            def _(dp_ref=dp_ref):
+                dp_ref[:] = jnp.zeros_like(dp_ref)
+            draw = _draw_tile(q_ref[:], p_ref[:], x, mask_rw) * g
+            dp_ref[:] += jax.lax.dot_general(
+                q_ref[:], draw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(i == 0)
+        def _():
+            dv_ref[:] = jnp.zeros_like(dv_ref)
+        dv_ref[:] += jax.lax.dot_general(
+            x, dxp_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return kernel
+
+
+# --------------------------- pallas call wrappers --------------------------
+
+
+def _q_specs(ks, tb, order="bm"):
+    if order == "bm":
+        return [pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM) for k in ks]
+    return [pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM) for k in ks]
+
+
+def _p_specs(ks, order="bm"):
+    if order == "bm":
+        return [pl.BlockSpec((k, TM), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM) for k in ks]
+    return [pl.BlockSpec((k, TM), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM) for k in ks]
+
+
+def _common_specs(tb, order="bm"):
+    if order == "bm":
+        return [
+            pl.BlockSpec((tb, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    return [
+        pl.BlockSpec((tb, TW), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _xv_call(u32, V, tb):
+    B = u32.shape[0]
+    m_pad, D = V.shape
+    return pl.pallas_call(
+        _xv_kernel,
+        grid=(B // tb, m_pad // TM),
+        in_specs=[
+            pl.BlockSpec((tb, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, D), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(u32, V)
+
+
+def _loss_call(qs, Ps, u32, cm2, rw2, tb):
+    ks = [q.shape[1] for q in qs]
+    B = u32.shape[0]
+    m_pad = cm2.shape[1]
+    out = pl.pallas_call(
+        _loss_kernel(len(ks)),
+        grid=(B // tb, m_pad // TM),
+        in_specs=(_q_specs(ks, tb) + _p_specs(ks) + _common_specs(tb)),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * m_pad * (2 * sum(ks) + 8 * len(ks)),
+            bytes_accessed=B * m_pad // 4,
+            transcendentals=2 * B * m_pad * len(ks)),
+        interpret=_interpret(),
+    )(*qs, *Ps, u32, cm2, rw2)
+    return out[0, 0]
+
+
+def _dq_call(qs, Ps, u32, cm2, rw2, tb):
+    ks = [q.shape[1] for q in qs]
+    B = u32.shape[0]
+    m_pad = cm2.shape[1]
+    return pl.pallas_call(
+        _dq_kernel(len(ks)),
+        grid=(B // tb, m_pad // TM),
+        in_specs=(_q_specs(ks, tb) + _p_specs(ks) + _common_specs(tb)),
+        out_specs=[pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM) for k in ks],
+        out_shape=[jax.ShapeDtypeStruct((B, k), jnp.float32) for k in ks],
+        cost_estimate=pl.CostEstimate(
+            flops=B * m_pad * 4 * sum(ks), bytes_accessed=B * m_pad // 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(*qs, *Ps, u32, cm2, rw2)
+
+
+def _dp_dv_call(qs, Ps, u32, cm2, rw2, dXp, g, tb):
+    ks = [q.shape[1] for q in qs]
+    B = u32.shape[0]
+    m_pad = cm2.shape[1]
+    D = dXp.shape[1]
+    g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
+    outs = pl.pallas_call(
+        _dp_dv_kernel(len(ks)),
+        grid=(m_pad // TM, B // tb),
+        in_specs=(_q_specs(ks, tb, "mb") + _p_specs(ks, "mb")
+                  + _common_specs(tb, "mb")
+                  + [pl.BlockSpec((tb, D), lambda j, i: (i, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                                  memory_space=pltpu.SMEM)]),
+        out_specs=([pl.BlockSpec((k, TM), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM) for k in ks]
+                   + [pl.BlockSpec((TM, D), lambda j, i: (j, 0),
+                                   memory_space=pltpu.VMEM)]),
+        out_shape=([jax.ShapeDtypeStruct((k, m_pad), jnp.float32) for k in ks]
+                   + [jax.ShapeDtypeStruct((m_pad, D), jnp.float32)]),
+        cost_estimate=pl.CostEstimate(
+            flops=B * m_pad * (4 * sum(ks) + 2 * D),
+            bytes_accessed=B * m_pad // 4, transcendentals=0),
+        interpret=_interpret(),
+    )(*qs, *Ps, u32, cm2, rw2, dXp, g2)
+    return outs[:-1], outs[-1]
+
+
+# ------------------------------ the op --------------------------------------
+
+
+def make_fused_training_loss(head_keys: List[str],
+                             snp_axis: Optional[str] = None):
+    """Build the (V, enc_params, Ps, u32, col_mask, row_w) ->
+    (bce_loss_sum, qs) op with the 3-pass custom VJP described above."""
+    head_keys = sorted(head_keys)
+
+    def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
+        tb = pick_tb(u32.shape[0])
+        Xp = _xv_call(u32, V, tb)
+        if snp_axis is not None:
+            Xp = jax.lax.psum(Xp, snp_axis)
+        qs = _encoder_apply(enc_params, Xp, head_keys)
+        q_list = [qs[hk] for hk in head_keys]
+        p_list = [Ps[hk] for hk in head_keys]
+        cm2 = col_mask.reshape(1, -1)
+        rw2 = row_w.reshape(-1, 1)
+        loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb)
+        return loss, qs, Xp
+
+    @jax.custom_vjp
+    def fused_training_loss(V, enc_params, Ps, u32, col_mask, row_w):
+        loss, qs, _ = _forward(V, enc_params, Ps, u32, col_mask, row_w)
+        return loss, qs
+
+    def fwd(V, enc_params, Ps, u32, col_mask, row_w):
+        loss, qs, Xp = _forward(V, enc_params, Ps, u32, col_mask, row_w)
+        return (loss, qs), (enc_params, Ps, u32, col_mask, row_w, Xp)
+
+    def bwd(res, cts):
+        g_loss, g_qs = cts
+        enc_params, Ps, u32, col_mask, row_w, Xp = res
+        tb = pick_tb(u32.shape[0])
+        cm2 = col_mask.reshape(1, -1)
+        rw2 = row_w.reshape(-1, 1)
+
+        qs, enc_vjp = jax.vjp(
+            lambda ep, xp: _encoder_apply(ep, xp, head_keys), enc_params, Xp)
+        q_list = [qs[hk] for hk in head_keys]
+        p_list = [Ps[hk] for hk in head_keys]
+
+        dq_list = _dq_call(q_list, p_list, u32, cm2, rw2, tb)
+        dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
+               for i, hk in enumerate(head_keys)}
+        denc, dXp = enc_vjp(dqs)
+        if snp_axis is not None:
+            # True cotangent of this shard's Xp partial sums over the snp
+            # shards that consumed the replicated psum result.
+            dXp = jax.lax.psum(dXp, snp_axis)
+
+        dp_list, dV = _dp_dv_call(q_list, p_list, u32, cm2, rw2, dXp,
+                                  g_loss, tb)
+        dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
+        return (dV, denc, dPs, None, None, None)
+
+    fused_training_loss.defvjp(fwd, bwd)
+    return fused_training_loss

@@ -67,29 +67,25 @@ _psum_snp.defvjp(_psum_snp_fwd, _psum_snp_bwd)
 
 def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
                       supervised: bool, supervised_loss_weight: float,
-                      use_pallas: bool, n_snp: int):
+                      use_pallas: bool, n_snp: int, fused_op=None):
     """Local loss contribution of one device; global loss = psum of these."""
     if use_pallas:
-        Xp_part = fused.packed_xv(xb, params["V"])
+        enc = {k: params[k] for k in ("rmsnorm", "common", "heads")}
+        loss, qs = fused_op(params["V"], enc, params["decoders"], xb,
+                            col_mask, row_weight)
     else:
         X = unpack_dosage_x(xb)
-        Xp_part = X @ params["V"]
-    Xp = _psum_snp(Xp_part)
-
-    ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
-    h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
-    e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
-
-    loss = jnp.asarray(0.0, jnp.float32)
-    qs = {}
-    for hk in sorted(params["heads"]):
-        head = params["heads"][hk]
-        q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
-        qs[hk] = q
-        if use_pallas:
-            loss = loss + fused.fused_clamped_bce_sum(
-                q, params["decoders"][hk], xb, col_mask, row_weight)
-        else:
+        Xp = _psum_snp(X @ params["V"])
+        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
+        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
+        e = jax.nn.relu(h @ params["common"]["kernel"]
+                        + params["common"]["bias"])
+        loss = jnp.asarray(0.0, jnp.float32)
+        qs = {}
+        for hk in sorted(params["heads"]):
+            head = params["heads"][hk]
+            q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
+            qs[hk] = q
             loss = loss + clamped_bce_sum(
                 q @ params["decoders"][hk], X, col_mask, row_weight)
     if supervised:
@@ -111,9 +107,14 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
     """
     n_snp = mesh.shape[SNP_AXIS]
     pspecs = param_specs(params_template)
+    fused_op = None
+    if use_pallas:
+        from ..ops.fused_step import make_fused_training_loss
+        fused_op = make_fused_training_loss(
+            sorted(params_template["heads"]), snp_axis=SNP_AXIS)
     local = partial(_shard_loss_local, supervised=supervised,
                     supervised_loss_weight=supervised_loss_weight,
-                    use_pallas=use_pallas, n_snp=n_snp)
+                    use_pallas=use_pallas, n_snp=n_snp, fused_op=fused_op)
 
     def per_device(params, xb, row_weight, col_mask, pops_batch):
         # Differentiate the LOCAL loss only (under check_vma=False, psum

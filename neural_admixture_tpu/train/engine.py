@@ -80,22 +80,22 @@ def _use_pallas(cfg: TrainConfig) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _supervised_term(qs, pops_batch, row_weight, supervised_loss_weight):
+    # Single-head supervised mode: CE over the (softmaxed) Q of the first
+    # head, treated as logits -- faithful to the reference
+    # (model/neural_admixture.py:460-474).
+    hk0 = sorted(qs.keys())[0]
+    return supervised_loss_weight * softmax_cross_entropy_sum(
+        qs[hk0], pops_batch, row_weight)
+
+
 def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
              supervised: bool, supervised_loss_weight: float,
-             use_pallas: bool):
+             use_pallas: bool, fused_op=None):
     if use_pallas:
-        Xp = fused.packed_xv(batch, params["V"])
-        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
-        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
-        e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
-        loss = jnp.asarray(0.0, jnp.float32)
-        qs = {}
-        for hk in sorted(params["heads"]):
-            head = params["heads"][hk]
-            q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
-            qs[hk] = q
-            loss = loss + fused.fused_clamped_bce_sum(
-                q, params["decoders"][hk], batch, col_mask, row_weight)
+        enc = {k: params[k] for k in ("rmsnorm", "common", "heads")}
+        loss, qs = fused_op(params["V"], enc, params["decoders"], batch,
+                            col_mask, row_weight)
     else:
         X = unpack_dosage_x(batch)
         recs, qs = qp.forward_train(params, X)
@@ -103,18 +103,14 @@ def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
         for hk in recs:
             loss = loss + clamped_bce_sum(recs[hk], X, col_mask, row_weight)
     if supervised:
-        # Single-head supervised mode: CE over the (softmaxed) Q of the first
-        # head, treated as logits -- faithful to the reference
-        # (model/neural_admixture.py:460-474).
-        hk0 = sorted(qs.keys())[0]
-        loss = loss + supervised_loss_weight * softmax_cross_entropy_sum(
-            qs[hk0], pops_batch, row_weight)
+        loss = loss + _supervised_term(qs, pops_batch, row_weight,
+                                       supervised_loss_weight)
     return loss
 
 
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   supervised_loss_weight: float, use_pallas: bool = False,
-                  mesh=None, params_template=None):
+                  mesh=None, params_template=None, compute_loss: bool = True):
     """Build the jitted one-epoch function (scan over shuffled batches).
 
     With ``mesh`` set, the loss/grad of each step runs under shard_map on the
@@ -123,6 +119,12 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
 
     Batch rows are padded up to a multiple of 8 (Pallas sublane alignment)
     with sentinel indices carrying zero row-weight.
+
+    ``compute_loss=False`` uses jax.grad instead of value_and_grad and
+    returns 0 for the epoch loss: the BCE *value* needs two log evaluations
+    per genotype while its gradient needs none, so XLA DCEs the whole loss
+    forward pass (~25% of step time on TPU). The trainer uses this for
+    epochs whose loss is not logged.
     """
     nb = (N + batch_size - 1) // batch_size
     pad = nb * batch_size - N
@@ -133,9 +135,14 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     b_round = ((batch_size + align - 1) // align) * align
 
     if mesh is None:
+        fused_op = None
+        if use_pallas:
+            from ..ops.fused_step import make_fused_training_loss
+            fused_op = make_fused_training_loss(
+                sorted(params_template["heads"]))
         loss_fn = partial(_loss_fn, supervised=supervised,
                           supervised_loss_weight=supervised_loss_weight,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, fused_op=fused_op)
 
         def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
             return jax.value_and_grad(loss_fn)(
@@ -175,6 +182,8 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 pops_b = jax.lax.with_sharding_constraint(pops_b, row_sharding)
             loss, grads = loss_and_grad(
                 params, xb, row_weight, col_mask, pops_b)
+            if not compute_loss:
+                loss = jnp.float32(0)  # primal DCE'd; see docstring
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             params = qp.restrict_P(params)
@@ -268,10 +277,11 @@ class NeuralAdmixtureTrainer:
         supervised = pops is not None
         pops_arr = jnp.asarray(pops if supervised else np.zeros(N),
                                dtype=jnp.int32)
-        epoch_fn = make_epoch_fn(tx, N, min(cfg.batch_size, N), supervised,
-                                 cfg.supervised_loss_weight,
-                                 use_pallas=use_pallas, mesh=mesh,
-                                 params_template=params)
+        mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
+                     cfg.supervised_loss_weight, use_pallas=use_pallas,
+                     mesh=mesh, params_template=params)
+        epoch_fn_logged = mk(compute_loss=True)
+        epoch_fn_fast = mk(compute_loss=False)
 
         if self.master:
             log.info("")
@@ -297,18 +307,21 @@ class NeuralAdmixtureTrainer:
         loss_sum = None
         for epoch in epoch_iter:
             key, k_epoch = jax.random.split(key)
+            logged = self.master and epoch % log_every == 0
+            epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
             params, opt_state, loss_sum = epoch_fn(
                 params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
-            if self.master and epoch % log_every == 0:
+            if logged:
                 log.info(f"            Loss in epoch {epoch:3d} is "
                          f"{float(loss_sum):,.0f}")
             if (cfg.checkpoint_every and cfg.checkpoint_path
                     and (epoch + 1) % cfg.checkpoint_every == 0):
                 self._save_checkpoint(epoch + 1, params, opt_state, key)
-        # Sync via a scalar fetch: block_until_ready is a no-op on some
+        # Sync via a scalar fetch from the trained params (the loss of a
+        # fast epoch is a constant 0): block_until_ready is a no-op on some
         # experimental PJRT backends; a device->host read is a real barrier.
         if loss_sum is not None:
-            float(loss_sum)
+            float(jnp.sum(params["rmsnorm"]["weight"]))
         self.train_seconds = time.time() - t_train
         if cfg.profile_dir:
             jax.profiler.stop_trace()
