@@ -83,3 +83,85 @@ def read_bed(file: str) -> np.ndarray:
     except ImportError:
         pass
     return decode_bed_numpy(B, N)
+
+
+# ------------------- packed-native (biobank-scale) path ---------------------
+
+# per-byte dosage sums / counts for histogram computation
+_BYTE_DOSE_SUM = _LUT8.astype(np.int64).sum(axis=1)          # sum incl. 3s
+_BYTE_MISS_CNT = (_LUT8 == 3).sum(axis=1).astype(np.int64)
+_BYTE_CODE_CNT = np.stack([( _LUT8 == v).sum(axis=1)
+                           for v in range(4)], axis=1).astype(np.int64)
+
+
+def bed_code_counts(B: np.ndarray, N: int) -> np.ndarray:
+    """Count dosage codes {0,1,2,3} over the whole BED matrix, excluding the
+    tail padding samples of each byte. Returns shape (4,) int64."""
+    M = B.shape[0]
+    counts = np.zeros(4, dtype=np.int64)
+    for v in range(4):
+        counts[v] = _BYTE_CODE_CNT[B, v].sum()
+    # subtract the per-SNP padding samples (bits beyond N in the last byte)
+    tail = (-N) % 4
+    if tail:
+        last = B[:, -1]
+        for s in range(4 - tail, 4):
+            pad_vals = _LUT8[last, s]
+            for v in range(4):
+                counts[v] -= int((pad_vals == v).sum())
+    return counts
+
+
+def flip_packed_minor_allele(packed: np.ndarray) -> np.ndarray:
+    """Dosage flip g -> 2-g (missing 3 unchanged) directly on 2-bit rows.
+
+    Per 2-bit field v: {0->2, 1->1, 2->0, 3->3} == v XOR 2 iff LSB(v) == 0,
+    i.e. bytewise ``b ^ ((~b & 0x55) << 1)``. Padding fields are 0 and become
+    2 -- callers must re-zero padding columns (mask or re-pack), or rely on
+    the loss column mask.
+    """
+    b = np.asarray(packed)
+    return (b ^ ((~b & 0x55) << 1)).astype(np.uint8)
+
+
+def read_bed_packed(file: str, lane_multiple: int = 2048
+                    ) -> Tuple[np.ndarray, int, int]:
+    """Read a BED fileset straight into the sample-major 2-bit packed layout
+    without materializing the (N, M) uint8 matrix (native decoder required
+    for large inputs; NumPy fallback decodes then packs).
+
+    Applies the reference's validation and minor-allele flip semantics
+    (snp_reader.py:109-110) in the packed/byte domain. Returns
+    (packed (N, m_pad//4) uint8, N, M).
+    """
+    B, N, M = read_bed_bytes(file)
+    counts = bed_code_counts(B, N)
+    assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), \
+        "Only biallelic SNPs are supported. Please make sure multiallelic " \
+        "sites have been removed."
+    mean = (counts[0] * 0 + counts[1] * 1 + counts[2] * 2 + counts[3] * 3) \
+        / max(1, int(counts.sum()))
+
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    try:
+        from ..native import bed_native
+        native_ok = bed_native.available()
+    except ImportError:
+        native_ok = False
+    if native_ok:
+        packed = bed_native.bed_to_packed(B, N, m_pad)
+    else:
+        from .packed import pack_2bit_rows
+        packed = pack_2bit_rows(decode_bed_numpy(B, N), m_pad=m_pad)
+    del B
+
+    if mean >= 1:
+        packed = flip_packed_minor_allele(packed)
+        # re-zero the padding columns the flip turned into dosage 2
+        if m_pad != M:
+            from .packed import unpack_2bit_rows, pack_2bit_rows
+            w_last = M // 4  # whole bytes before the partial/padding region
+            tail = unpack_2bit_rows(packed[:, w_last:], m_pad - w_last * 4)
+            tail[:, M - w_last * 4:] = 0
+            packed[:, w_last:] = pack_2bit_rows(tail)
+    return packed, N, M

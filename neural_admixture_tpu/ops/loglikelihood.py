@@ -68,3 +68,21 @@ def loglikelihood_device(G, P, Q, K: int, eps: float = _EPS,
         total += float(_loglik_block(jnp.asarray(G[i:i + block]), P,
                                      Q[i:i + block], eps))
     return total
+
+
+def loglikelihood_packed(packed, M: int, P, Q, eps: float = _EPS,
+                         block: int = 2048) -> float:
+    """Same float64 evaluation fed from 2-bit packed rows: each row block is
+    unpacked transiently, so the N x M uint8 matrix never materializes
+    (biobank path). Matches :func:`loglikelihood` exactly."""
+    from ..io.packed import unpack_2bit_rows
+
+    P = np.asarray(P, np.float64)
+    Q = np.asarray(Q, np.float64)
+    N = Q.shape[0]
+    total = 0.0
+    for i in range(0, N, block):
+        G_blk = unpack_2bit_rows(np.asarray(packed[i:i + block]), M)
+        total += loglikelihood(G_blk, P, Q[i:i + block], P.shape[1], eps=eps,
+                               block=block)
+    return total

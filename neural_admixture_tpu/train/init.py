@@ -90,3 +90,22 @@ def init_p_supervised(G: np.ndarray, y: np.ndarray, K: int) -> np.ndarray:
     """Per-class mean genotype rows (K, M) float32, raw dosage scale."""
     return np.vstack([G[y == idx, :].astype(np.float32).mean(axis=0)
                       for idx in range(K)])
+
+
+def init_p_supervised_packed(packed, y: np.ndarray, K: int, M: int,
+                             block: int = 4096) -> np.ndarray:
+    """Per-class mean genotype rows computed from 2-bit packed rows in device
+    blocks (raw dosage scale, missing=3 included -- same semantics as
+    init_p_supervised / reference model/train.py:82)."""
+    from ..io.packed import unpack_2bit_rows
+
+    N = len(y)
+    sums = np.zeros((K, M), dtype=np.float64)
+    counts = np.bincount(y, minlength=K).astype(np.float64)
+    for i in range(0, N, block):
+        G_blk = unpack_2bit_rows(np.asarray(packed[i:i + block]), M)
+        for k in range(K):
+            rows = G_blk[y[i:i + block] == k]
+            if rows.size:
+                sums[k] += rows.sum(axis=0, dtype=np.float64)
+    return (sums / np.maximum(counts[:, None], 1.0)).astype(np.float32)

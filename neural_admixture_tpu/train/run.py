@@ -4,20 +4,37 @@ Combines the responsibilities of the reference's entry/train orchestration
 (/root/reference/neural_admixture/entry.py:179-193,
 /root/reference/neural_admixture/src/main.py:19-46,
 /root/reference/neural_admixture/model/train.py:19-149) into one pipeline.
+
+BED input takes the packed-native path: genotypes go straight from BED bytes
+to the sample-major 2-bit layout (native C++ decoder when built), and every
+consumer -- RSVD, GMM/supervised init, training, final log-likelihood --
+operates on packed rows, so the (N, M) uint8 matrix never materializes in
+host memory (the reference holds it in shared memory, entry.py:186, which
+is untenable at biobank scale). Other formats decode densely then pack.
 """
 import time
 from pathlib import Path
 
 import numpy as np
 
+from ..io.bed import read_bed_packed
 from ..io.packed import pack_with_padding
 from ..io.snp_reader import read_data
 from ..io.writers import save_checkpoint, save_config, write_outputs
-from ..ops.loglikelihood import loglikelihood
+from ..ops.loglikelihood import loglikelihood, loglikelihood_packed
 from ..ops.rsvd import rsvd
 from ..utils.logger import log, setup_logging
 from .engine import NeuralAdmixtureTrainer, TrainConfig
-from .init import encode_populations, init_p_supervised, init_p_unsupervised
+from .init import (encode_populations, init_p_supervised,
+                   init_p_supervised_packed, init_p_unsupervised)
+
+
+def _read_pops(pops_path):
+    if not pops_path:
+        return None
+    log.info("    Population file provided!")
+    with open(pops_path, "r") as fb:
+        return [p.strip() for p in fb.readlines()]
 
 
 def main_train(args, t0: float) -> int:
@@ -29,9 +46,16 @@ def main_train(args, t0: float) -> int:
         K, min_k, max_k = None, int(args.min_k), int(args.max_k)
         ks = list(range(min_k, max_k + 1))
 
-    data, pops, N, M = read_data(args.data_path, args.pops_path or None)
-
-    packed, m_pad = pack_with_padding(data)
+    packed_native = ".bed" in Path(args.data_path).suffixes
+    data = None
+    if packed_native:
+        log.info("    Input format is BED.")
+        packed, N, M = read_bed_packed(args.data_path)
+        log.info(f"    Data contains {N} samples and {M} SNPs.")
+        pops = _read_pops(args.pops_path or None)
+    else:
+        data, pops, N, M = read_data(args.data_path, args.pops_path or None)
+        packed, _ = pack_with_padding(data)
 
     log.info("")
     log.info("    Running SVD...")
@@ -48,7 +72,10 @@ def main_train(args, t0: float) -> int:
         log.info("    Running Supervised Mode...")
         log.info("")
         y_num, _ = encode_populations(pops, K)
-        P_init = init_p_supervised(data, y_num, K)
+        if packed_native:
+            P_init = init_p_supervised_packed(packed, y_num, K, M)
+        else:
+            P_init = init_p_supervised(data, y_num, K)
     else:
         log.info("")
         log.info("    Running Gaussian Mixture in PCA subspace...")
@@ -75,7 +102,10 @@ def main_train(args, t0: float) -> int:
     for i, k in enumerate(sorted(ks)):
         P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
         Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
-        logl = loglikelihood(data, P64, Q64, k)
+        if packed_native:
+            logl = loglikelihood_packed(packed, M, P64, Q64)
+        else:
+            logl = loglikelihood(data, P64, Q64, k)
         suffix = "" if K is not None else f" for K={k}"
         log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
 

@@ -1,0 +1,75 @@
+"""The packed-native BED path must reproduce the dense path exactly."""
+import numpy as np
+
+from neural_admixture_tpu.io import bed
+from neural_admixture_tpu.io.packed import pack_2bit_rows, unpack_2bit_rows
+from neural_admixture_tpu.io.snp_reader import SNPReader
+from neural_admixture_tpu.ops.loglikelihood import (loglikelihood,
+                                                    loglikelihood_packed)
+from neural_admixture_tpu.train.init import (init_p_supervised,
+                                             init_p_supervised_packed)
+from tests.conftest import DEMO_BED
+from tests.test_io import _encode_bed_bytes
+
+
+def _write_bed(tmp_path, G):
+    B = _encode_bed_bytes(G)
+    p = tmp_path / "t.bed"
+    with open(p, "wb") as f:
+        f.write(b"\x6c\x1b\x01" + B.tobytes())
+    (tmp_path / "t.fam").write_text("x\n" * G.shape[0])
+    return str(p)
+
+
+def test_flip_packed_minor_allele_fieldwise():
+    G = np.array([[0, 1, 2, 3, 0, 2, 1, 3]], dtype=np.uint8)
+    pk = pack_2bit_rows(G)
+    flipped = unpack_2bit_rows(bed.flip_packed_minor_allele(pk), 8)
+    np.testing.assert_array_equal(flipped, [[2, 1, 0, 3, 2, 0, 1, 3]])
+
+
+def test_read_bed_packed_matches_dense_path_demo():
+    packed, N, M = bed.read_bed_packed(DEMO_BED)
+    G = SNPReader().read_data(DEMO_BED)
+    assert (N, M) == G.shape
+    np.testing.assert_array_equal(unpack_2bit_rows(packed, M), G)
+    # padding columns are genotype 0
+    m_pad = packed.shape[1] * 4
+    pad = unpack_2bit_rows(packed, m_pad)[:, M:]
+    np.testing.assert_array_equal(pad, 0)
+
+
+def test_read_bed_packed_applies_flip(tmp_path):
+    # mean >= 1 -> flip; missing stays 3; padding stays 0
+    rng = np.random.default_rng(0)
+    G = rng.choice([1, 2, 3], size=(10, 37), p=[0.3, 0.6, 0.1]).astype(np.uint8)
+    G[0, 0] = 0  # keep validation happy (min == 0)
+    path = _write_bed(tmp_path, G)
+    packed, N, M = bed.read_bed_packed(path)
+    expected = SNPReader().read_data(path)
+    np.testing.assert_array_equal(unpack_2bit_rows(packed, M), expected)
+    m_pad = packed.shape[1] * 4
+    np.testing.assert_array_equal(unpack_2bit_rows(packed, m_pad)[:, M:], 0)
+
+
+def test_loglikelihood_packed_matches_dense():
+    rng = np.random.default_rng(1)
+    N, M, K = 30, 77, 4
+    G = rng.integers(0, 4, size=(N, M)).astype(np.uint8)
+    packed = pack_2bit_rows(G, m_pad=128)
+    P = rng.uniform(0.05, 0.95, size=(M, K))
+    Q = rng.dirichlet(np.ones(K), size=N)
+    dense = loglikelihood(G, P, Q, K)
+    from_packed = loglikelihood_packed(packed, M, P, Q, block=7)
+    np.testing.assert_allclose(from_packed, dense, rtol=1e-12)
+
+
+def test_supervised_init_packed_matches_dense():
+    rng = np.random.default_rng(2)
+    N, M, K = 41, 53, 3
+    G = rng.integers(0, 4, size=(N, M)).astype(np.uint8)
+    y = rng.integers(0, K, size=N)
+    packed = pack_2bit_rows(G, m_pad=64)
+    dense = init_p_supervised(G, y, K)
+    from_packed = init_p_supervised_packed(packed, y, K, M, block=8)
+    np.testing.assert_allclose(from_packed, dense, rtol=1e-6)
