@@ -71,7 +71,9 @@ def bench_jax():
     if use_pallas:
         perm = pk.planar_perm(m_pad)
         params = NeuralAdmixtureTrainer._permute_params(params, perm)
-        packed_dev = jax.device_put(pk.packed_view_u32(packed))
+        tiles = np.ascontiguousarray(
+            pk.tiles_from_rows(pk.packed_view_u32(packed)))
+        packed_dev = jax.device_put(tiles)
         col_mask = jax.numpy.asarray(col_mask_np[perm])
     else:
         packed_dev = jax.device_put(packed)

@@ -194,6 +194,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     sync_platform_from_env()
     enable_compile_cache()
 
+    # Multi-host (TPU pod) bring-up is env-driven and a no-op on one host.
+    from .parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
+    # Device-count clamp, mirroring the reference's GPU clamp message
+    # (/root/reference/neural_admixture/entry.py:167-173).
+    if args.num_gpus > 0:
+        import jax
+        available = jax.device_count()
+        if args.num_gpus > available:
+            log.warning(f"    Requested {args.num_gpus} devices, but only "
+                        f"{available} are available. Using {available} "
+                        "devices.")
+            args.num_gpus = available
+
     if mode == "train":
         from .train.run import main_train
         return main_train(args, t0)

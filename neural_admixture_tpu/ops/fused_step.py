@@ -1,5 +1,11 @@
 """The consolidated multi-head M-plane training op.
 
+The packed batch argument is TILE-MAJOR: shape (nT, B, 128) uint32, where
+tile t holds planar-order SNP slots [2048 t, 2048 (t+1)) (see
+ops.pack.planar_perm / tiles_from_rows). Row-major (B, W4) batches make
+every kernel block a 512-byte-strided DMA, capping HBM throughput at ~66
+GB/s on v5e; tile-major blocks are fully contiguous.
+
 One custom-VJP op covers everything per training step that touches the
 (B, M) genotype plane, for ALL heads at once, so the 2-bit packed batch is
 read exactly three times per step (the reference reads multiple f32-sized
@@ -56,7 +62,7 @@ def _xv_kernel(u_ref, v_ref, out_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
-    x = _unpack_x(u_ref[:])
+    x = _unpack_x(u_ref[0])
     out_ref[:] += jnp.dot(x, v_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -70,7 +76,7 @@ def _loss_kernel(n_heads):
         def _():
             out_ref[0, 0] = 0.0
 
-        x = _unpack_x(u_ref[:])
+        x = _unpack_x(u_ref[0])
         mask_rw = cm_ref[:] * rw_ref[:]
         total = 0.0
         for q_ref, p_ref in zip(q_refs, p_refs):
@@ -88,7 +94,7 @@ def _dq_kernel(n_heads):
         dq_refs = refs[2 * n_heads + 3:]
         j = pl.program_id(1)
 
-        x = _unpack_x(u_ref[:])
+        x = _unpack_x(u_ref[0])
         mask_rw = cm_ref[:] * rw_ref[:]
         for q_ref, p_ref, dq_ref in zip(q_refs, p_refs, dq_refs):
             @pl.when(j == 0)
@@ -111,7 +117,7 @@ def _dp_dv_kernel(n_heads):
         dv_ref = refs[-1]
         i = pl.program_id(1)
 
-        x = _unpack_x(u_ref[:])
+        x = _unpack_x(u_ref[0])
         mask_rw = cm_ref[:] * rw_ref[:]
         g = g_ref[0, 0]
         for q_ref, p_ref, dp_ref in zip(q_refs, p_refs, dp_refs):
@@ -152,27 +158,34 @@ def _p_specs(ks, order="bm"):
 
 
 def _common_specs(tb, order="bm"):
+    """Specs for (tiles, col_mask, row_weight). The packed batch is
+    tile-major (nT, B, TW): each (1, tb, TW) block is one contiguous DMA
+    (row-major (B, W4) layout reads 512-byte strided strips, which caps HBM
+    efficiency at ~8%% -- measured in tools/tune_unpack.py)."""
     if order == "bm":
         return [
-            pl.BlockSpec((tb, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ]
     return [
-        pl.BlockSpec((tb, TW), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
     ]
 
 
 def _xv_call(u32, V, tb):
-    B = u32.shape[0]
+    B = u32.shape[1]
     m_pad, D = V.shape
     return pl.pallas_call(
         _xv_kernel,
         grid=(B // tb, m_pad // TM),
         in_specs=[
-            pl.BlockSpec((tb, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, D), lambda i, j: (i, 0),
@@ -187,7 +200,7 @@ def _xv_call(u32, V, tb):
 
 def _loss_call(qs, Ps, u32, cm2, rw2, tb):
     ks = [q.shape[1] for q in qs]
-    B = u32.shape[0]
+    B = u32.shape[1]
     m_pad = cm2.shape[1]
     out = pl.pallas_call(
         _loss_kernel(len(ks)),
@@ -207,7 +220,7 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb):
 
 def _dq_call(qs, Ps, u32, cm2, rw2, tb):
     ks = [q.shape[1] for q in qs]
-    B = u32.shape[0]
+    B = u32.shape[1]
     m_pad = cm2.shape[1]
     return pl.pallas_call(
         _dq_kernel(len(ks)),
@@ -225,7 +238,7 @@ def _dq_call(qs, Ps, u32, cm2, rw2, tb):
 
 def _dp_dv_call(qs, Ps, u32, cm2, rw2, dXp, g, tb):
     ks = [q.shape[1] for q in qs]
-    B = u32.shape[0]
+    B = u32.shape[1]
     m_pad = cm2.shape[1]
     D = dXp.shape[1]
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
@@ -262,7 +275,7 @@ def make_fused_training_loss(head_keys: List[str],
     head_keys = sorted(head_keys)
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
-        tb = pick_tb(u32.shape[0])
+        tb = pick_tb(u32.shape[1])
         Xp = _xv_call(u32, V, tb)
         if snp_axis is not None:
             Xp = jax.lax.psum(Xp, snp_axis)
@@ -286,7 +299,7 @@ def make_fused_training_loss(head_keys: List[str],
     def bwd(res, cts):
         g_loss, g_qs = cts
         enc_params, Ps, u32, col_mask, row_w, Xp = res
-        tb = pick_tb(u32.shape[0])
+        tb = pick_tb(u32.shape[1])
         cm2 = col_mask.reshape(1, -1)
         rw2 = row_w.reshape(-1, 1)
 

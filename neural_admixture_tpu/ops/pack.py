@@ -94,3 +94,22 @@ def unpack_dosage_x_planar(u32: jnp.ndarray, dtype=jnp.float32,
     g = unpack_genotypes_planar(u32, tile)
     x = g.astype(dtype) * dtype(0.5)
     return jnp.where(g == jnp.uint8(3), dtype(0.0), x)
+
+
+def tiles_from_rows(u32: jnp.ndarray, tile: int = PLANAR_TILE) -> jnp.ndarray:
+    """(N, W4) uint32 rows -> TILE-MAJOR (nT, N, tile//16) uint32.
+
+    The tile-major layout makes each fused-kernel block (one planar tile x a
+    batch-row block) a single contiguous DMA; the row-major layout reads
+    512-byte strided strips, which caps HBM efficiency (see ops.fused_step).
+    Works on device (jnp) or host (np) arrays.
+    """
+    words = tile // 16
+    N, W4 = u32.shape
+    return u32.reshape(N, W4 // words, words).transpose(1, 0, 2)
+
+
+def rows_from_tiles(tiles: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`tiles_from_rows`: (nT, N, words) -> (N, W4)."""
+    nT, N, words = tiles.shape
+    return tiles.transpose(1, 0, 2).reshape(N, nT * words)

@@ -139,9 +139,11 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
                 lambda v: jax.lax.psum(v, (DATA_AXIS, SNP_AXIS)), grads[name])
         return loss, grads
 
+    batch_spec = (P(SNP_AXIS, DATA_AXIS, None) if use_pallas
+                  else P(DATA_AXIS, SNP_AXIS))
     return shard_map(
         per_device, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, SNP_AXIS), P(DATA_AXIS),
+        in_specs=(pspecs, batch_spec, P(DATA_AXIS),
                   P(SNP_AXIS), P(DATA_AXIS)),
         out_specs=(P(), pspecs),
         check_vma=False,
@@ -151,11 +153,20 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
 def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
                     batch: int = 1024):
     """Full-data encoder pass with V SNP-sharded (inference needs only the
-    psum of X @ V partials; everything after is replicated)."""
-    unpack = unpack_dosage_x_planar if planar else unpack_dosage_x
+    psum of X @ V partials; everything after is replicated). ``data_dev`` is
+    tile-major (nT, N, words) when planar, else row-major (N, W)."""
+    from ..ops.pack import rows_from_tiles
+
+    tile_major = planar and data_dev.ndim == 3
 
     def per_device(params, xb):
-        Xp = jax.lax.psum(unpack(xb) @ params["V"], SNP_AXIS)
+        if tile_major:
+            X = unpack_dosage_x_planar(rows_from_tiles(xb))
+        elif planar:
+            X = unpack_dosage_x_planar(xb)
+        else:
+            X = unpack_dosage_x(xb)
+        Xp = jax.lax.psum(X @ params["V"], SNP_AXIS)
         ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
         h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
         e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
@@ -163,23 +174,29 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
                 for hk, head in params["heads"].items()}
 
     pspecs = param_specs(params)
+    batch_spec = (P(SNP_AXIS, DATA_AXIS, None) if tile_major
+                  else P(DATA_AXIS, SNP_AXIS))
     fwd = jax.jit(shard_map(
         per_device, mesh=mesh,
-        in_specs=(pspecs, P(DATA_AXIS, SNP_AXIS)),
+        in_specs=(pspecs, batch_spec),
         out_specs={hk: P(DATA_AXIS) for hk in params["heads"]},
         check_vma=False,
     ))
 
     import numpy as np
+    sample_axis = 1 if tile_major else 0
     d_sz = mesh.shape[DATA_AXIS]
     B = max(d_sz, (min(N, batch) // d_sz) * d_sz)
     chunks = {hk: [] for hk in params["heads"]}
     for i in range(0, N, B):
-        blk = data_dev[i:min(i + B, N)]
-        n_real = blk.shape[0]
+        blk = jax.lax.slice_in_dim(data_dev, i, min(i + B, N),
+                                   axis=sample_axis)
+        n_real = blk.shape[sample_axis]
         if n_real < B:
-            padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)
-            blk = jnp.concatenate([blk, padb], axis=0)
+            pad_shape = list(blk.shape)
+            pad_shape[sample_axis] = B - n_real
+            blk = jnp.concatenate([blk, jnp.zeros(pad_shape, blk.dtype)],
+                                  axis=sample_axis)
         qs = fwd(params, blk)
         for hk in chunks:
             chunks[hk].append(np.asarray(qs[hk][:n_real]))

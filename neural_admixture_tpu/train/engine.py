@@ -154,7 +154,9 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         loss_and_grad = make_sharded_loss_and_grad(
             mesh, params_template, supervised, supervised_loss_weight,
             use_pallas)
-        batch_sharding = NamedSharding(mesh, P(DATA_AXIS, SNP_AXIS))
+        batch_sharding = NamedSharding(
+            mesh, P(SNP_AXIS, DATA_AXIS, None) if use_pallas
+            else P(DATA_AXIS, SNP_AXIS))
         row_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -173,7 +175,8 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             params, opt_state = carry
             row_weight = (idx_b < N).astype(jnp.float32)
             safe = jnp.minimum(idx_b, N - 1)
-            xb = jnp.take(packed, safe, axis=0)
+            # sample axis: 0 in row-major (B, W) layout, 1 in tile-major
+            xb = jnp.take(packed, safe, axis=1 if packed.ndim == 3 else 0)
             pops_b = jnp.take(pops, safe, axis=0)
             if batch_sharding is not None:
                 xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
@@ -202,8 +205,8 @@ def _infer_batch(params, packed_batch):
 
 
 @jax.jit
-def _infer_batch_planar(params, u32_batch):
-    X = unpack_dosage_x_planar(u32_batch)
+def _infer_batch_planar(params, tiles_batch):
+    X = unpack_dosage_x_planar(pk.rows_from_tiles(tiles_batch))
     return qp.forward_infer(params, X)
 
 
@@ -254,8 +257,15 @@ class NeuralAdmixtureTrainer:
                 data_host = np.concatenate(
                     [data_host, np.zeros((d_sz - N % d_sz, data_host.shape[1]),
                                          data_host.dtype)], axis=0)
-            data_dev = jax.device_put(
-                data_host, NamedSharding(mesh, P(DATA_AXIS, SNP_AXIS)))
+        if use_pallas:
+            # Tile-major device layout: (nT, N, 128) -- contiguous DMA blocks
+            # in every fused kernel (see ops.fused_step).
+            data_host = np.ascontiguousarray(pk.tiles_from_rows(data_host))
+        if mesh is not None:
+            batch_pspec = (P(SNP_AXIS, DATA_AXIS, None) if use_pallas
+                           else P(DATA_AXIS, SNP_AXIS))
+            data_dev = jax.device_put(data_host,
+                                      NamedSharding(mesh, batch_pspec))
             col_mask = jax.device_put(
                 jnp.asarray(col_mask_np), NamedSharding(mesh, P(SNP_AXIS)))
         else:
@@ -423,13 +433,17 @@ class NeuralAdmixtureTrainer:
             return [qs[f"k{k}"] for k in self.ks]
         B = min(N, INFER_BATCH)
         fwd = _infer_batch_planar if planar else _infer_batch
+        sample_axis = 1 if data_dev.ndim == 3 else 0
         chunks = {f"k{k}": [] for k in self.ks}
         for i in range(0, N, B):
-            blk = data_dev[i:min(i + B, N)]
-            n_real = blk.shape[0]
+            blk = jax.lax.slice_in_dim(data_dev, i, min(i + B, N),
+                                       axis=sample_axis)
+            n_real = blk.shape[sample_axis]
             if n_real < B:
-                padb = jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)
-                blk = jnp.concatenate([blk, padb], axis=0)
+                pad_shape = list(blk.shape)
+                pad_shape[sample_axis] = B - n_real
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros(pad_shape, blk.dtype)], axis=sample_axis)
             qs = fwd(params, blk)
             for hk in chunks:
                 chunks[hk].append(np.asarray(qs[hk][:n_real]))

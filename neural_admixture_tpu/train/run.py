@@ -91,7 +91,10 @@ def main_train(args, t0: float) -> int:
         profile_dir=getattr(args, "profile_dir", None),
         checkpoint_every=int(getattr(args, "checkpoint_every", 0) or 0),
         checkpoint_path=str(Path(args.save_dir) / f"{args.name}_ckpt.npz"),
-        resume=bool(getattr(args, "resume", False)))
+        resume=bool(getattr(args, "resume", False)),
+        # --num_gpus N>0 pins the device count (reference semantics); 0 (the
+        # default) auto-selects all visible devices.
+        mesh_shape=(int(args.num_gpus), 1) if int(args.num_gpus) > 0 else None)
     if cfg.checkpoint_every or cfg.resume:
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     trainer = NeuralAdmixtureTrainer(cfg)
