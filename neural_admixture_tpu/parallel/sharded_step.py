@@ -35,7 +35,6 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..models import qp
-from ..ops import fused
 from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
 from ..ops.pack import unpack_dosage_x, unpack_dosage_x_planar
 from .mesh import DATA_AXIS, SNP_AXIS, param_specs

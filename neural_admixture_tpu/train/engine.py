@@ -38,7 +38,6 @@ from tqdm.auto import tqdm
 
 from ..models import qp
 from ..parallel.mesh import DATA_AXIS, SNP_AXIS, make_mesh, shard_params
-from ..ops import fused
 from ..ops import pack as pk
 from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
 from ..ops.pack import unpack_dosage_x, unpack_dosage_x_planar
