@@ -1,0 +1,20 @@
+#!/bin/bash
+# Train on the reference demo dataset (105 samples x 8,451 SNPs) and check
+# the outputs against the published expected files -- the TPU-native
+# equivalent of the reference's demo workflow.
+#
+# DEMO_DATA can point at any copy of the demo BED fileset; it defaults to
+# the read-only reference checkout used during development.
+set -e
+DEMO_DATA=${DEMO_DATA:-/root/reference/demo/data/demo_data.bed}
+EXPECTED_DIR=${EXPECTED_DIR:-/root/reference/demo/outputs}
+OUT=${OUT:-./demo_outputs}
+
+echo "Running Neural ADMIXTURE (TPU) on demo data..."
+start=$(date +%s)
+python -m neural_admixture_tpu train --k 7 --data_path "$DEMO_DATA" \
+    --save_dir "$OUT" --name demo_run --epochs 5 --seed 42 --threads 4
+end=$(date +%s)
+echo "Demo run in $((end - start)) seconds."
+echo "Running diagnostics..."
+python "$(dirname "$0")/run_diagnostics.py" "$OUT" "$EXPECTED_DIR"
