@@ -33,13 +33,23 @@ def _add_config_arg(parser: argparse.ArgumentParser) -> None:
 
 def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
     """configargparse-style YAML config support: values in the YAML file
-    become parser defaults (CLI flags still win)."""
-    if "--config" in argv:
-        import yaml
-        cfg_path = argv[argv.index("--config") + 1]
-        with open(cfg_path, "r") as fb:
-            cfg = yaml.safe_load(fb) or {}
-        parser.set_defaults(**cfg)
+    become parser defaults (CLI flags still win), and required flags
+    provided by the file are no longer demanded on the command line."""
+    cfg_path = None
+    for i, tok in enumerate(argv):
+        if tok == "--config" and i + 1 < len(argv):
+            cfg_path = argv[i + 1]
+        elif tok.startswith("--config="):
+            cfg_path = tok.split("=", 1)[1]
+    if not cfg_path:
+        return
+    import yaml
+    with open(cfg_path, "r") as fb:
+        cfg = yaml.safe_load(fb) or {}
+    parser.set_defaults(**cfg)
+    for action in parser._actions:
+        if action.required and action.dest in cfg:
+            action.required = False
 
 
 def parse_train_args(argv: List[str]) -> argparse.Namespace:

@@ -64,6 +64,11 @@ def main_infer(args, t0: float) -> int:
 
     data, *_ = read_data(args.data_path)
     N, M = data.shape
+    trained_m = config.get("num_snps")
+    if trained_m is not None:
+        assert M == int(trained_m), (
+            f"Data has {M} SNPs but the model was trained on {trained_m}; "
+            "projective inference requires the same variant set.")
     assert params["V"].shape[0] >= M, (
         f"Data has {M} SNPs but the model was trained with "
         f"{params['V'].shape[0]} (padded) SNP rows in V.")

@@ -96,19 +96,21 @@ _BYTE_CODE_CNT = np.stack([( _LUT8 == v).sum(axis=1)
 
 def bed_code_counts(B: np.ndarray, N: int) -> np.ndarray:
     """Count dosage codes {0,1,2,3} over the whole BED matrix, excluding the
-    tail padding samples of each byte. Returns shape (4,) int64."""
-    M = B.shape[0]
-    counts = np.zeros(4, dtype=np.int64)
-    for v in range(4):
-        counts[v] = _BYTE_CODE_CNT[B, v].sum()
+    tail padding samples of each byte. Returns shape (4,) int64.
+
+    Uses a 256-bin byte histogram + the per-byte code-count LUT, so the
+    extra memory is O(256) regardless of matrix size (this is the
+    biobank-path validator; it must not allocate N*M-scale temporaries)."""
+    hist = np.bincount(B.ravel(), minlength=256).astype(np.int64)
+    counts = hist @ _BYTE_CODE_CNT  # (256,) @ (256, 4) -> (4,)
     # subtract the per-SNP padding samples (bits beyond N in the last byte)
     tail = (-N) % 4
     if tail:
-        last = B[:, -1]
-        for s in range(4 - tail, 4):
-            pad_vals = _LUT8[last, s]
+        last_hist = np.bincount(B[:, -1], minlength=256).astype(np.int64)
+        for slot in range(4 - tail, 4):
+            pad_vals = _LUT8[:, slot]  # value of slot `slot` for each byte
             for v in range(4):
-                counts[v] -= int((pad_vals == v).sum())
+                counts[v] -= int(last_hist[pad_vals == v].sum())
     return counts
 
 

@@ -20,13 +20,17 @@ def _open(path: str):
 
 
 def _gt_dosage(sample_field: str) -> int:
-    """GT subfield -> summed allele dosage; any missing allele -> 3."""
+    """GT subfield -> summed allele dosage, matching scikit-allel's semantics
+    exactly (the reference's reader, snp_reader.py:82-87): each missing
+    allele contributes -1 and only a NEGATIVE total maps to missing (3).
+    Hence './.' -> 3 but './1' -> 0 -- faithful to the reference, quirks
+    included."""
     gt = sample_field.split(":", 1)[0]
     total = 0
     for allele in gt.replace("|", "/").split("/"):
-        if allele in (".", ""):
-            return 3
-        total += int(allele)
+        total += -1 if allele in (".", "") else int(allele)
+    if total < 0:
+        return 3
     return min(total, 255)
 
 

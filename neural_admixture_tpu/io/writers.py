@@ -43,13 +43,20 @@ def write_outputs(Qs: List[np.ndarray], run_name: str, K: Optional[int],
 
 
 def save_config(name: str, save_dir: str, ks: List[int], num_features: int,
-                hidden_size: int, activation: str = "relu") -> None:
+                hidden_size: int, activation: str = "relu",
+                num_snps: Optional[int] = None) -> None:
+    """``num_snps`` (the trained M) is an extension over the reference's
+    config keys, letting infer mode validate that new data has the same SNP
+    count instead of silently mis-multiplying (the reference fails with a
+    shape error; padded V here would not)."""
     config = {
         "ks": list(ks),
         "num_features": int(num_features),
         "hidden_size": int(hidden_size),
         "activation": activation,
     }
+    if num_snps is not None:
+        config["num_snps"] = int(num_snps)
     with open(Path(save_dir) / f"{name}_config.json", "w") as fb:
         json.dump(config, fb)
     log.info("    Configuration file saved.")

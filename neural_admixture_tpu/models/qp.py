@@ -87,9 +87,14 @@ def init_params(key, V: jnp.ndarray, P_init: Optional[jnp.ndarray],
     return params
 
 
-def encode(params: Dict, X: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """X (B, M) -> {head_key: Q (B, k)} admixture proportions."""
-    Xp = X @ params["V"]
+def encode_from_xp(params: Dict, Xp: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """PCA-space input (B, D) -> {head_key: Q (B, k)}.
+
+    The single definition of the RMSNorm -> shared MLP -> heads -> softmax
+    encoder, shared by the XLA forward, the fused Pallas step, and the
+    sharded paths (so the math cannot drift between them). ``params`` needs
+    only the "rmsnorm"/"common"/"heads" entries.
+    """
     ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
     h = Xp * jax.lax.rsqrt(ms + RMSNORM_EPS) * params["rmsnorm"]["weight"]
     e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
@@ -98,6 +103,11 @@ def encode(params: Dict, X: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         logits = e @ head["kernel"] + head["bias"]
         out[hk] = jax.nn.softmax(logits, axis=-1)
     return out
+
+
+def encode(params: Dict, X: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """X (B, M) -> {head_key: Q (B, k)} admixture proportions."""
+    return encode_from_xp(params, X @ params["V"])
 
 
 def forward_train(params: Dict, X: jnp.ndarray):

@@ -81,12 +81,24 @@ def _bce_terms(q, p, x, mask_rw):
     return raw, rec, elem
 
 
+def _use_fast_recip() -> bool:
+    """Approximate reciprocal in the BCE backward: measured 26% faster per
+    backward pass on v5e with max 8e-6 relative gradient error
+    (tools/tune_recip.py). Set NA_TPU_EXACT_DIV=1 for the exact division;
+    interpret mode (tests) always uses it."""
+    import os
+    return not _interpret() and os.environ.get("NA_TPU_EXACT_DIV") != "1"
+
+
 def _draw_tile(q, p, x, mask_rw):
     """d(loss)/d(raw) for one tile (torch BCE+clamp backward)."""
     raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     denom = jnp.maximum(rec * (1.0 - rec), _GRAD_EPS)
-    drec = (rec - x) / denom
+    if _use_fast_recip():
+        drec = (rec - x) * pl.reciprocal(denom, approx=True)
+    else:
+        drec = (rec - x) / denom
     inside = jnp.logical_and(raw >= 0.0, raw <= 1.0)
     return jnp.where(inside, drec, 0.0) * mask_rw
 

@@ -46,13 +46,8 @@ from .fused import (TM, TW, _draw_tile, _bce_terms, _interpret, _unpack_x,
 
 
 def _encoder_apply(enc_params, Xp, head_keys: List[str]):
-    ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
-    h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * enc_params["rmsnorm"]["weight"]
-    e = jax.nn.relu(h @ enc_params["common"]["kernel"]
-                    + enc_params["common"]["bias"])
-    return {hk: jax.nn.softmax(
-        e @ enc_params["heads"][hk]["kernel"] + enc_params["heads"][hk]["bias"],
-        axis=-1) for hk in head_keys}
+    qs = qp.encode_from_xp(enc_params, Xp)
+    return {hk: qs[hk] for hk in head_keys}
 
 
 # --------------------------- pallas kernels --------------------------------

@@ -75,18 +75,11 @@ def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
     else:
         X = unpack_dosage_x(xb)
         Xp = _psum_snp(X @ params["V"])
-        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
-        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
-        e = jax.nn.relu(h @ params["common"]["kernel"]
-                        + params["common"]["bias"])
+        qs = qp.encode_from_xp(params, Xp)
         loss = jnp.asarray(0.0, jnp.float32)
-        qs = {}
-        for hk in sorted(params["heads"]):
-            head = params["heads"][hk]
-            q = jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
-            qs[hk] = q
+        for hk in sorted(qs):
             loss = loss + clamped_bce_sum(
-                q @ params["decoders"][hk], X, col_mask, row_weight)
+                qs[hk] @ params["decoders"][hk], X, col_mask, row_weight)
     if supervised:
         # Q is replicated over the snp axis; divide so the (data, snp) psum
         # counts each sample's CE exactly once.
@@ -166,11 +159,7 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
         else:
             X = unpack_dosage_x(xb)
         Xp = jax.lax.psum(X @ params["V"], SNP_AXIS)
-        ms = jnp.mean(jnp.square(Xp), axis=-1, keepdims=True)
-        h = Xp * jax.lax.rsqrt(ms + qp.RMSNORM_EPS) * params["rmsnorm"]["weight"]
-        e = jax.nn.relu(h @ params["common"]["kernel"] + params["common"]["bias"])
-        return {hk: jax.nn.softmax(e @ head["kernel"] + head["bias"], axis=-1)
-                for hk, head in params["heads"].items()}
+        return qp.encode_from_xp(params, Xp)
 
     pspecs = param_specs(params)
     batch_spec = (P(SNP_AXIS, DATA_AXIS, None) if tile_major

@@ -119,11 +119,13 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     Batch rows are padded up to a multiple of 8 (Pallas sublane alignment)
     with sentinel indices carrying zero row-weight.
 
-    ``compute_loss=False`` uses jax.grad instead of value_and_grad and
-    returns 0 for the epoch loss: the BCE *value* needs two log evaluations
-    per genotype while its gradient needs none, so XLA DCEs the whole loss
-    forward pass (~25% of step time on TPU). The trainer uses this for
-    epochs whose loss is not logged.
+    ``compute_loss=False`` replaces the returned per-step loss with a
+    constant 0, leaving the value_and_grad primal dead so XLA eliminates the
+    entire loss-forward computation (the BCE *value* needs two log
+    evaluations per genotype while its gradient needs none) -- ~25% of step
+    time on TPU. The trainer uses this for epochs whose loss is not logged;
+    keeping the returned loss live (e.g. for NaN checks) would silently
+    forfeit the saving.
     """
     nb = (N + batch_size - 1) // batch_size
     pad = nb * batch_size - N

@@ -68,6 +68,9 @@ def main_train(args, t0: float) -> int:
     y_num = None
     if pops is not None:
         assert K is not None, "Supervised mode requires --k (a single K)."
+        assert len(pops) == N, (
+            f"Population file has {len(pops)} labels but the data has {N} "
+            "samples.")
         log.info("")
         log.info("    Running Supervised Mode...")
         log.info("")
@@ -115,7 +118,8 @@ def main_train(args, t0: float) -> int:
     Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     save_checkpoint(params, args.name, args.save_dir, strip_decoders=True)
     save_config(args.name, args.save_dir, ks=sorted(ks),
-                num_features=V.shape[0], hidden_size=int(args.hidden_size))
+                num_features=V.shape[0], hidden_size=int(args.hidden_size),
+                num_snps=M)
     write_outputs(Qs, args.name, K, min_k, max_k, args.save_dir, Ps)
 
     log.info("")

@@ -41,15 +41,39 @@ def _single_device_ref(params, xb, row_w, col_mask, pops, supervised, w):
     return jax.value_and_grad(loss_fn)(params)
 
 
-@pytest.mark.parametrize("mesh_shape,supervised", [
-    ((2, 4), False), ((4, 2), False), ((8, 1), False), ((2, 4), True)])
-def test_sharded_matches_single_device(mesh_shape, supervised):
+@pytest.mark.parametrize("mesh_shape,supervised,use_pallas", [
+    ((2, 4), False, False), ((4, 2), False, False), ((8, 1), False, False),
+    ((2, 4), True, False), ((2, 4), False, True), ((2, 2), True, True)])
+def test_sharded_matches_single_device(mesh_shape, supervised, use_pallas):
     params, packed, col_mask, row_w, pops = _setup(supervised=supervised)
     w = 7.0
-    mesh = make_mesh(*mesh_shape)
+    mesh = make_mesh(*mesh_shape,
+                     devices=jax.devices()[:mesh_shape[0] * mesh_shape[1]])
     fn = make_sharded_loss_and_grad(mesh, params, supervised, w,
-                                    use_pallas=False)
-    loss_s, grads_s = jax.jit(fn)(params, packed, row_w, col_mask, pops)
+                                    use_pallas=use_pallas)
+    batch = packed
+    if use_pallas:
+        from neural_admixture_tpu.ops import pack as pk
+        # Pallas path: tile-major planar batch; permute P/V/col_mask to
+        # planar order, then un-permute the gradients for comparison.
+        m_pad = col_mask.shape[0]
+        perm = pk.planar_perm(m_pad)
+        inv = jnp.asarray(pk.inverse_perm(perm))
+        permj = jnp.asarray(perm)
+        p_planar = dict(params)
+        p_planar["V"] = params["V"][permj]
+        p_planar["decoders"] = {hk: P[:, permj]
+                                for hk, P in params["decoders"].items()}
+        batch = jnp.asarray(pk.tiles_from_rows(
+            pk.packed_view_u32(np.asarray(packed))))
+        loss_s, grads_s = jax.jit(fn)(p_planar, batch, row_w,
+                                      col_mask[permj], pops)
+        grads_s = dict(grads_s)
+        grads_s["V"] = grads_s["V"][inv]
+        grads_s["decoders"] = {hk: g[:, inv]
+                               for hk, g in grads_s["decoders"].items()}
+    else:
+        loss_s, grads_s = jax.jit(fn)(params, batch, row_w, col_mask, pops)
     loss_r, grads_r = _single_device_ref(params, packed, row_w, col_mask,
                                          pops, supervised, w)
 
