@@ -22,22 +22,15 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
             ) -> List[np.ndarray]:
     import jax
 
+    from .train.chunked import chunked_forward
+
     @jax.jit
     def fwd(p, xb):
         return qp.forward_infer(p, unpack_dosage_x(xb))
 
-    B = min(N, batch_size)
-    chunks = {f"k{k}": [] for k in sorted(ks)}
-    for i in range(0, N, B):
-        blk = jnp.asarray(packed[i:i + B])
-        n_real = blk.shape[0]
-        if n_real < B:
-            blk = jnp.concatenate(
-                [blk, jnp.zeros((B - n_real, blk.shape[1]), blk.dtype)], axis=0)
-        qs = fwd(params, blk)
-        for hk in chunks:
-            chunks[hk].append(np.asarray(qs[hk][:n_real]))
-    return [np.concatenate(chunks[f"k{k}"], axis=0) for k in sorted(ks)]
+    qs = chunked_forward(lambda blk: fwd(params, blk), jnp.asarray(packed),
+                         N, batch_size)
+    return [qs[f"k{k}"] for k in sorted(ks)]
 
 
 def main_infer(args, t0: float) -> int:

@@ -171,21 +171,9 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
         check_vma=False,
     ))
 
-    import numpy as np
-    sample_axis = 1 if tile_major else 0
+    from ..train.chunked import chunked_forward
+
     d_sz = mesh.shape[DATA_AXIS]
     B = max(d_sz, (min(N, batch) // d_sz) * d_sz)
-    chunks = {hk: [] for hk in params["heads"]}
-    for i in range(0, N, B):
-        blk = jax.lax.slice_in_dim(data_dev, i, min(i + B, N),
-                                   axis=sample_axis)
-        n_real = blk.shape[sample_axis]
-        if n_real < B:
-            pad_shape = list(blk.shape)
-            pad_shape[sample_axis] = B - n_real
-            blk = jnp.concatenate([blk, jnp.zeros(pad_shape, blk.dtype)],
-                                  axis=sample_axis)
-        qs = fwd(params, blk)
-        for hk in chunks:
-            chunks[hk].append(np.asarray(qs[hk][:n_real]))
-    return {hk: np.concatenate(chunks[hk], axis=0) for hk in chunks}
+    return chunked_forward(lambda blk: fwd(params, blk), data_dev, N, B,
+                           sample_axis=1 if tile_major else 0)

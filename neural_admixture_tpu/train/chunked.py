@@ -1,0 +1,36 @@
+"""Shared chunked-forward helper for full-data Q inference.
+
+One implementation of the slice / zero-pad-last-block / forward / crop /
+concatenate pattern used by the training engine's post-training Q pass and
+by projective inference (the reference re-implements this via DataLoaders,
+model/neural_admixture.py:368-383, src/inference.py:67-77).
+"""
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chunked_forward(fwd: Callable, data, N: int, batch: int,
+                    sample_axis: int = 0) -> Dict[str, np.ndarray]:
+    """Run ``fwd(batch_block) -> {head: (B, k)}`` over all N samples.
+
+    ``data`` may be any array whose ``sample_axis`` dimension indexes
+    samples (row-major packed rows, or tile-major (nT, N, words)). The last
+    block is zero-padded to the fixed batch size and cropped after.
+    """
+    B = min(N, batch)
+    chunks: Dict[str, List[np.ndarray]] = {}
+    for i in range(0, N, B):
+        blk = jax.lax.slice_in_dim(data, i, min(i + B, N), axis=sample_axis)
+        n_real = blk.shape[sample_axis]
+        if n_real < B:
+            pad_shape = list(blk.shape)
+            pad_shape[sample_axis] = B - n_real
+            blk = jnp.concatenate(
+                [blk, jnp.zeros(pad_shape, blk.dtype)], axis=sample_axis)
+        qs = fwd(blk)
+        for hk, q in qs.items():
+            chunks.setdefault(hk, []).append(np.asarray(q[:n_real]))
+    return {hk: np.concatenate(parts, axis=0) for hk, parts in chunks.items()}

@@ -432,23 +432,12 @@ class NeuralAdmixtureTrainer:
             qs = infer_q_sharded(mesh, params, data_dev, N, planar,
                                  INFER_BATCH)
             return [qs[f"k{k}"] for k in self.ks]
-        B = min(N, INFER_BATCH)
+        from .chunked import chunked_forward
         fwd = _infer_batch_planar if planar else _infer_batch
-        sample_axis = 1 if data_dev.ndim == 3 else 0
-        chunks = {f"k{k}": [] for k in self.ks}
-        for i in range(0, N, B):
-            blk = jax.lax.slice_in_dim(data_dev, i, min(i + B, N),
-                                       axis=sample_axis)
-            n_real = blk.shape[sample_axis]
-            if n_real < B:
-                pad_shape = list(blk.shape)
-                pad_shape[sample_axis] = B - n_real
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros(pad_shape, blk.dtype)], axis=sample_axis)
-            qs = fwd(params, blk)
-            for hk in chunks:
-                chunks[hk].append(np.asarray(qs[hk][:n_real]))
-        return [np.concatenate(chunks[f"k{k}"], axis=0) for k in self.ks]
+        qs = chunked_forward(lambda blk: fwd(params, blk), data_dev, N,
+                             INFER_BATCH,
+                             sample_axis=1 if data_dev.ndim == 3 else 0)
+        return [qs[f"k{k}"] for k in self.ks]
 
     def display_divergences(self, params, M: int) -> None:
         if not self.master:
