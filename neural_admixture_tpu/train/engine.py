@@ -364,7 +364,8 @@ class NeuralAdmixtureTrainer:
         leaves = [np.asarray(x) for x in jax.tree.leaves((params, opt_state))]
         arrays = {f"leaf_{i}": a for i, a in enumerate(leaves)}
         tmp = f"{self.cfg.checkpoint_path}.tmp.npz"
-        np.savez(tmp, epoch=np.int64(epoch), key=np.asarray(key), **arrays)
+        np.savez(tmp, epoch=np.int64(epoch), key=np.asarray(key),
+                 planar=np.bool_(self._perm is not None), **arrays)
         import os
         os.replace(tmp, self.cfg.checkpoint_path)
 
@@ -376,6 +377,12 @@ class NeuralAdmixtureTrainer:
         with np.load(path) as data:
             epoch = int(data["epoch"])
             new_key = jnp.asarray(data["key"], dtype=key.dtype)
+            ck_planar = bool(data["planar"]) if "planar" in data else None
+            if ck_planar is not None and ck_planar != (self._perm is not None):
+                raise ValueError(
+                    "Checkpoint was written with a different device layout "
+                    f"(planar={ck_planar}); resume with the same "
+                    "use_pallas/backend setting it was trained with.")
             leaves = [data[f"leaf_{i}"]
                       for i in range(len(jax.tree.leaves((params, opt_state))))]
         treedef = jax.tree.structure((params, opt_state))
