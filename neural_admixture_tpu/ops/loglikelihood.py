@@ -71,15 +71,32 @@ def loglikelihood_device(G, P, Q, K: int, eps: float = _EPS,
 
 
 def loglikelihood_packed(packed, M: int, P, Q, eps: float = _EPS,
-                         block: int = 2048) -> float:
-    """Same float64 evaluation fed from 2-bit packed rows: each row block is
-    unpacked transiently, so the N x M uint8 matrix never materializes
-    (biobank path). Matches :func:`loglikelihood` exactly."""
+                         block: int = 2048,
+                         device_threshold: float = 2e10) -> float:
+    """Evaluation fed from 2-bit packed rows: each row block is unpacked
+    transiently, so the N x M uint8 matrix never materializes (biobank
+    path).
+
+    Below ``device_threshold`` N*M genotypes, blocks are unpacked on the
+    host and reduced in float64 (bit-matching :func:`loglikelihood`); above
+    it, blocks are unpacked and reduced on device in float32 with per-block
+    float64 accumulation on host -- host f64 at that scale would take hours,
+    and the per-block f32 error is O(1e-7) relative."""
     from ..io.packed import unpack_2bit_rows
 
     P = np.asarray(P, np.float64)
     Q = np.asarray(Q, np.float64)
     N = Q.shape[0]
+    if N * M > device_threshold:
+        from .pack import unpack_genotypes
+
+        P32 = jnp.asarray(P, jnp.float32)
+        Q32 = jnp.asarray(Q, jnp.float32)
+        total = 0.0
+        for i in range(0, N, block):
+            g = unpack_genotypes(jnp.asarray(packed[i:i + block]))[:, :M]
+            total += float(_loglik_block(g, P32, Q32[i:i + block], eps))
+        return total
     total = 0.0
     for i in range(0, N, block):
         G_blk = unpack_2bit_rows(np.asarray(packed[i:i + block]), M)
