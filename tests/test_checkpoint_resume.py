@@ -49,3 +49,17 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
     Qs, Ps, _ = NeuralAdmixtureTrainer(cfg).launch_training(
         P_init.copy(), packed, V, M, N)
     assert Qs[0].shape == (N, 3)
+
+
+def test_resume_rejects_different_layout(tmp_path):
+    import pytest
+    G, V, P_init, packed = _data()
+    N, M = G.shape
+    # checkpoint written with the XLA (row-major) layout...
+    cfg1 = _cfg(tmp_path, 2, checkpoint_every=2, use_pallas=False)
+    NeuralAdmixtureTrainer(cfg1).launch_training(P_init.copy(), packed, V, M, N)
+    # ...must not resume under the planar/tile-major layout
+    cfg2 = _cfg(tmp_path, 4, checkpoint_every=2, resume=True, use_pallas=True)
+    with pytest.raises(ValueError, match="different device layout"):
+        NeuralAdmixtureTrainer(cfg2).launch_training(
+            P_init.copy(), packed, V, M, N)
