@@ -416,8 +416,12 @@ class NeuralAdmixtureTrainer:
         assert m_pad % (n_snp * snp_quantum) == 0, (
             f"m_pad={m_pad} is not divisible by n_snp={n_snp} x "
             f"{snp_quantum}; choose a smaller snp mesh axis")
-        return make_mesh(n_data, n_snp,
-                         devices=jax.devices()[:n_data * n_snp])
+        devices = jax.devices()
+        if len(devices) < n_data * n_snp:
+            # Fall back to the (lazily initialized) CPU backend -- used by
+            # the multichip dry-run when a 1-chip TPU backend is already up.
+            devices = jax.devices("cpu")
+        return make_mesh(n_data, n_snp, devices=devices[:n_data * n_snp])
 
     @staticmethod
     def _permute_params(params: Dict, perm: np.ndarray) -> Dict:
