@@ -22,7 +22,7 @@ def best_permutation(Q, Q_ref):
     return perm, corr[rows, cols]
 
 
-def main(out_dir, expected_dir):
+def main(out_dir, expected_dir, data_path=None):
     Q = np.genfromtxt(f"{out_dir}/demo_run.7.Q")
     P = np.genfromtxt(f"{out_dir}/demo_run.7.P")
     Qe = np.genfromtxt(f"{expected_dir}/demo_run.7.Q.expected")
@@ -34,6 +34,20 @@ def main(out_dir, expected_dir):
     print(f"Matched P column correlations: {np.round(p_corr, 3)}")
 
     ok = np.mean(q_corr) > 0.75 and np.mean(p_corr) > 0.75
+
+    if data_path:
+        import os
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from neural_admixture_tpu.io.snp_reader import SNPReader
+        from neural_admixture_tpu.ops.loglikelihood import loglikelihood
+        G = SNPReader().read_data(data_path)
+        ll = loglikelihood(G, P, Q, 7)
+        ll_e = loglikelihood(G, Pe, Qe, 7)
+        print(f"Log-likelihood: ours {ll:.1f} vs expected outputs {ll_e:.1f}")
+        ok = ok and ll >= ll_e
+
     print(f"Output and expected output are {'' if ok else 'NOT '}similar.")
     return 0 if ok else 1
 
@@ -41,4 +55,5 @@ def main(out_dir, expected_dir):
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "./demo_outputs"
     exp = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/demo/outputs"
-    sys.exit(main(out, exp))
+    data = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(main(out, exp, data))

@@ -46,6 +46,16 @@ def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
     import yaml
     with open(cfg_path, "r") as fb:
         cfg = yaml.safe_load(fb) or {}
+    dests = {a.dest: a for a in parser._actions}
+    unknown = [k for k in cfg if k not in dests]
+    if unknown:
+        parser.error(f"unknown keys in config file {cfg_path}: {unknown}")
+    for key, value in list(cfg.items()):
+        action = dests[key]
+        # YAML scalars like "1e-4" resolve to strings under YAML 1.1; apply
+        # the flag's argparse type converter (as configargparse does).
+        if action.type is not None and isinstance(value, str):
+            cfg[key] = action.type(value)
     parser.set_defaults(**cfg)
     for action in parser._actions:
         if action.required and action.dest in cfg:

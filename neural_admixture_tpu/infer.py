@@ -28,8 +28,8 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
     def fwd(p, xb):
         return qp.forward_infer(p, unpack_dosage_x(xb))
 
-    qs = chunked_forward(lambda blk: fwd(params, blk), jnp.asarray(packed),
-                         N, batch_size)
+    qs = chunked_forward(lambda blk: fwd(params, blk), np.asarray(packed),
+                         N, min(N, batch_size))
     return [qs[f"k{k}"] for k in sorted(ks)]
 
 

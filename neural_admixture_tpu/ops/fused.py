@@ -84,10 +84,17 @@ def _bce_terms(q, p, x, mask_rw):
 def _use_fast_recip() -> bool:
     """Approximate reciprocal in the BCE backward: measured 26% faster per
     backward pass on v5e with max 8e-6 relative gradient error
-    (tools/tune_recip.py). Set NA_TPU_EXACT_DIV=1 for the exact division;
-    interpret mode (tests) always uses it."""
+    (tools/tune_recip.py). NA_TPU_EXACT_DIV=1 forces exact division;
+    NA_TPU_EXACT_DIV=0 forces the approx path even in interpret mode (used
+    by tests to pin the production branch); unset -> approx on TPU, exact
+    in interpret mode."""
     import os
-    return not _interpret() and os.environ.get("NA_TPU_EXACT_DIV") != "1"
+    env = os.environ.get("NA_TPU_EXACT_DIV")
+    if env == "1":
+        return False
+    if env == "0":
+        return True
+    return not _interpret()
 
 
 def _draw_tile(q, p, x, mask_rw):

@@ -16,14 +16,25 @@ def chunked_forward(fwd: Callable, data, N: int, batch: int,
                     sample_axis: int = 0) -> Dict[str, np.ndarray]:
     """Run ``fwd(batch_block) -> {head: (B, k)}`` over all N samples.
 
-    ``data`` may be any array whose ``sample_axis`` dimension indexes
-    samples (row-major packed rows, or tile-major (nT, N, words)). The last
-    block is zero-padded to the fixed batch size and cropped after.
+    ``data`` may be a device array or a host numpy array whose
+    ``sample_axis`` dimension indexes samples (row-major packed rows, or
+    tile-major (nT, N, words)). Host arrays are sliced on the host so only
+    one batch lives on device at a time (projective inference may process
+    matrices larger than device memory). ``batch`` is used exactly as given
+    (callers align it to their mesh); the last block is zero-padded to it
+    and cropped after.
     """
-    B = min(N, batch)
+    B = batch
+    on_host = isinstance(data, np.ndarray)
     chunks: Dict[str, List[np.ndarray]] = {}
     for i in range(0, N, B):
-        blk = jax.lax.slice_in_dim(data, i, min(i + B, N), axis=sample_axis)
+        if on_host:
+            index = [slice(None)] * data.ndim
+            index[sample_axis] = slice(i, min(i + B, N))
+            blk = jnp.asarray(data[tuple(index)])
+        else:
+            blk = jax.lax.slice_in_dim(data, i, min(i + B, N),
+                                       axis=sample_axis)
         n_real = blk.shape[sample_axis]
         if n_real < B:
             pad_shape = list(blk.shape)

@@ -418,9 +418,15 @@ class NeuralAdmixtureTrainer:
             f"{snp_quantum}; choose a smaller snp mesh axis")
         devices = jax.devices()
         if len(devices) < n_data * n_snp:
-            # Fall back to the (lazily initialized) CPU backend -- used by
-            # the multichip dry-run when a 1-chip TPU backend is already up.
-            devices = jax.devices("cpu")
+            import os
+            if os.environ.get("NA_TPU_ALLOW_CPU_MESH") == "1":
+                # Explicit opt-in (set by the multichip dry-run): validate
+                # the sharded program on a lazily initialized CPU backend.
+                devices = jax.devices("cpu")
+            if len(devices) < n_data * n_snp:
+                raise ValueError(
+                    f"mesh_shape {shape} needs {n_data * n_snp} devices but "
+                    f"only {len(devices)} are available")
         return make_mesh(n_data, n_snp, devices=devices[:n_data * n_snp])
 
     @staticmethod
@@ -446,7 +452,7 @@ class NeuralAdmixtureTrainer:
         from .chunked import chunked_forward
         fwd = _infer_batch_planar if planar else _infer_batch
         qs = chunked_forward(lambda blk: fwd(params, blk), data_dev, N,
-                             INFER_BATCH,
+                             min(N, INFER_BATCH),
                              sample_axis=1 if data_dev.ndim == 3 else 0)
         return [qs[f"k{k}"] for k in self.ks]
 

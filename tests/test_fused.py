@@ -82,6 +82,27 @@ def test_packed_xv_matches_reference_and_dv():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fast_recip_backward_matches_exact(monkeypatch):
+    """Pin the production (approx-reciprocal) backward branch: force it on
+    in interpret mode and compare against the exact-division gradients
+    (interpret emulation error ~1e-3; the real TPU unit is ~8e-6)."""
+    G, u32, perm, Q, P, cm, rw, m_pad = _setup()
+    permj = jnp.asarray(perm)
+
+    def loss(Q, P):
+        return fused_clamped_bce_sum(Q, P[:, permj], u32, cm[permj], rw)
+
+    monkeypatch.setenv("NA_TPU_EXACT_DIV", "1")
+    dq_e, dp_e = jax.grad(loss, argnums=(0, 1))(Q, P)
+    monkeypatch.setenv("NA_TPU_EXACT_DIV", "0")
+    dq_a, dp_a = jax.grad(loss, argnums=(0, 1))(Q, P)
+
+    np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_e),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_e),
+                               rtol=5e-3, atol=5e-2)
+
+
 def test_pick_tb():
     assert pick_tb(800) == 200
     assert pick_tb(1024) == 256
