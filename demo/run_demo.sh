@@ -17,4 +17,6 @@ python -m neural_admixture_tpu train --k 7 --data_path "$DEMO_DATA" \
 end=$(date +%s)
 echo "Demo run in $((end - start)) seconds."
 echo "Running diagnostics..."
-python "$(dirname "$0")/run_diagnostics.py" "$OUT" "$EXPECTED_DIR"
+# The third arg enables the log-likelihood gate (ours must be >= the
+# expected outputs' LL on the demo data); set -e fails the script on it.
+python "$(dirname "$0")/run_diagnostics.py" "$OUT" "$EXPECTED_DIR" "$DEMO_DATA"

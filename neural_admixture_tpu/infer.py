@@ -33,12 +33,29 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
     return [qs[f"k{k}"] for k in sorted(ks)]
 
 
+def _select_backend(num_gpus: int) -> None:
+    """Honor the reference's device-selection semantics for inference
+    (/root/reference/neural_admixture/src/inference.py:20-40): --num_gpus 0
+    runs on CPU, 1 on the accelerator. Must run before the first backend use;
+    once a backend is initialized the platform is pinned for the process."""
+    import jax
+    if num_gpus == 0:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            log.info("    Running inference on CPU (--num_gpus 0).")
+        except Exception:
+            log.warning("    Could not force the CPU backend (a device "
+                        "backend is already initialized); inference will run "
+                        f"on {jax.default_backend()}.")
+
+
 def main_infer(args, t0: float) -> int:
     setup_logging()
     if args.num_gpus > 1:
         raise ValueError(
             "Multi-device inference is not supported. Please set --num_gpus "
             "to 1 (single device) or 0 (CPU).")
+    _select_backend(int(args.num_gpus))
 
     try:
         config = load_config(args.name, args.save_dir)
@@ -62,6 +79,14 @@ def main_infer(args, t0: float) -> int:
         assert M == int(trained_m), (
             f"Data has {M} SNPs but the model was trained on {trained_m}; "
             "projective inference requires the same variant set.")
+    else:
+        # num_snps is this implementation's extension key; externally-authored
+        # configs lack it, leaving only the weak padded-V bound below.
+        log.warning(
+            "    Config has no 'num_snps' entry; cannot verify the dataset "
+            f"matches the trained variant set (data has {M} SNPs, V has "
+            f"{params['V'].shape[0]} padded rows). A mismatched variant set "
+            "produces meaningless Q values.")
     assert params["V"].shape[0] >= M, (
         f"Data has {M} SNPs but the model was trained with "
         f"{params['V'].shape[0]} (padded) SNP rows in V.")

@@ -1,0 +1,213 @@
+"""PLINK2 PGEN genotype input.
+
+Covers the role of the reference's PGEN branch
+(/root/reference/neural_admixture/src/snp_reader.py:47-71) with a different
+design:
+
+  * with ``pgenlib`` installed, variants are streamed in blocks through
+    ``PgenReader.read_range`` (alt-allele hardcall counts, missing = -9)
+    instead of materializing the full (M, 2N) allele-code matrix the
+    reference allocates;
+  * without pgenlib, fixed-width storage modes are decoded by a pure-Python
+    reader (modes 0x01 and 0x02 below); compressed modes (0x10+) still
+    require pgenlib and raise a clear error;
+  * ``read_pgen_packed`` streams variant blocks straight into the
+    sample-major 2-bit packed device layout, giving PGEN the same
+    biobank-scale path BED has (io.bed.read_bed_packed) -- the (N, M) uint8
+    matrix never materializes.
+
+Fixed-width storage modes (PGEN spec, plink-ng PgenFileFormat):
+  0x01  the body after the 3 magic bytes is a PLINK1 .bed payload
+        (variant-major, codes {0b00: hom A1, 0b01: missing, 0b10: het,
+        0b11: hom A2}); sample count comes from the companion .psam/.fam;
+  0x02  header continues with variant_ct (u32 LE) and sample_ct (u32 LE),
+        then one ceil(N/4)-byte record per variant, 2 bits per sample with
+        direct dosage codes {0, 1, 2, 3=missing}.
+"""
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .bed import _LUT8 as _BED_LUT8
+from .packed import packed_width
+
+MAGIC = b"\x6c\x1b"
+_BLOCK_VARIANTS = 4096  # variants per streamed read (multiple of 4)
+
+# Mode-0x02 per-byte decode: 4 direct 2-bit dosage codes, low bits first.
+_DIRECT_LUT8 = np.zeros((256, 4), dtype=np.uint8)
+for _b in range(256):
+    for _j in range(4):
+        _DIRECT_LUT8[_b, _j] = (_b >> (2 * _j)) & 3
+
+
+def _psam_sample_count(pgen_path: Path) -> int:
+    """Sample count from the companion .psam (or .fam) metadata file."""
+    for suffix in (".psam", ".fam"):
+        meta = pgen_path.with_suffix(suffix)
+        if meta.exists():
+            with open(meta, "r") as fh:
+                return sum(1 for line in fh
+                           if line.strip() and not line.startswith("#"))
+    raise FileNotFoundError(
+        f"Mode-0x01 PGEN needs a companion {pgen_path.with_suffix('.psam')} "
+        "(or .fam) to determine the sample count.")
+
+
+class _FixedWidthPgen:
+    """Pure-Python reader for uncompressed PGEN storage modes 0x01/0x02.
+
+    Presents the same surface as the pgenlib-backed reader: dims plus a
+    block read returning (vb, N) uint8 dosages with missing == 3.
+    """
+
+    def __init__(self, path: str):
+        self.path = Path(path)
+        with open(self.path, "rb") as fh:
+            head = fh.read(11)
+        if head[:2] != MAGIC:
+            raise ValueError(f"{path} is not a PGEN file (bad magic)")
+        self.mode = head[2]
+        size = self.path.stat().st_size
+        if self.mode == 0x01:
+            self.N = _psam_sample_count(self.path)
+            self._data_start = 3
+            rec = -(-self.N // 4)
+            payload = size - 3
+            if payload % rec:
+                raise ValueError(
+                    f"PGEN payload {payload} B is not a whole number of "
+                    f"ceil(N/4)={rec} B variant records; .psam mismatch?")
+            self.M = payload // rec
+        elif self.mode == 0x02:
+            self.M = int(np.frombuffer(head[3:7], "<u4")[0])
+            self.N = int(np.frombuffer(head[7:11], "<u4")[0])
+            self._data_start = 11
+            rec = -(-self.N // 4)
+            if size - 11 < self.M * rec:
+                raise ValueError(
+                    f"PGEN file truncated: expected {self.M} x {rec} B "
+                    f"records, found {size - 11} B")
+        else:
+            raise NotImplementedError(
+                f"PGEN storage mode {self.mode:#04x} is compressed/variable "
+                "width; install pgenlib to read it (pip install pgenlib).")
+        self._rec = -(-self.N // 4)
+        self._lut = _BED_LUT8 if self.mode == 0x01 else _DIRECT_LUT8
+
+    def read_block(self, v0: int, v1: int) -> np.ndarray:
+        """Dosages of variants [v0, v1) as (v1-v0, N) uint8, missing == 3."""
+        with open(self.path, "rb") as fh:
+            fh.seek(self._data_start + v0 * self._rec)
+            raw = np.fromfile(fh, np.uint8, (v1 - v0) * self._rec)
+        raw = raw.reshape(v1 - v0, self._rec)
+        return self._lut[raw].reshape(v1 - v0, -1)[:, :self.N]
+
+
+class _PgenlibPgen:
+    """pgenlib-backed block reader (handles every storage mode)."""
+
+    def __init__(self, path: str):
+        import pgenlib
+        self._reader = pgenlib.PgenReader(bytes(Path(path)))
+        self.M = self._reader.get_variant_ct()
+        self.N = self._reader.get_raw_sample_ct()
+
+    def read_block(self, v0: int, v1: int) -> np.ndarray:
+        buf = np.empty((v1 - v0, self.N), dtype=np.int8)
+        self._reader.read_range(v0, v1, buf)
+        out = buf.view(np.uint8)
+        out[buf < 0] = 3  # pgenlib encodes missing hardcalls as -9
+        return out
+
+
+def open_pgen(path: str):
+    """Best available PGEN block reader: pgenlib if importable, else the
+    pure-Python fixed-width decoder."""
+    try:
+        import pgenlib  # noqa: F401
+        return _PgenlibPgen(path)
+    except ImportError:
+        return _FixedWidthPgen(path)
+
+
+def read_pgen(path: str) -> np.ndarray:
+    """Dense (N, M) uint8 dosage matrix (3 = missing), streamed per block."""
+    reader = open_pgen(path)
+    N, M = reader.N, reader.M
+    G = np.empty((N, M), dtype=np.uint8)
+    for v0 in range(0, M, _BLOCK_VARIANTS):
+        v1 = min(v0 + _BLOCK_VARIANTS, M)
+        G[:, v0:v1] = reader.read_block(v0, v1).T
+    return G
+
+
+def read_pgen_packed(path: str, lane_multiple: int = 2048
+                     ) -> Tuple[np.ndarray, int, int]:
+    """Stream a PGEN file straight into the sample-major 2-bit packed layout.
+
+    Mirrors io.bed.read_bed_packed's contract: validation + minor-allele
+    flip in the packed domain, (packed (N, m_pad//4) uint8, N, M) out. Peak
+    extra memory is one variant block, not the (N, M) matrix.
+    """
+    from .bed import flip_packed_minor_allele
+    from .packed import pack_2bit_rows, unpack_2bit_rows
+
+    reader = open_pgen(path)
+    N, M = reader.N, reader.M
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    packed = np.zeros((N, packed_width(m_pad)), dtype=np.uint8)
+    counts = np.zeros(4, dtype=np.int64)
+    for v0 in range(0, M, _BLOCK_VARIANTS):
+        v1 = min(v0 + _BLOCK_VARIANTS, M)
+        gb = np.ascontiguousarray(reader.read_block(v0, v1).T)  # (N, vb)
+        counts += np.bincount(gb.ravel(), minlength=4)[:4]
+        vb4 = -(-(v1 - v0) // 4) * 4
+        if vb4 != v1 - v0:  # zero-pad the final partial byte's fields
+            gb = np.concatenate(
+                [gb, np.zeros((N, vb4 - (v1 - v0)), np.uint8)], axis=1)
+        g4 = gb.reshape(N, vb4 // 4, 4)
+        packed[:, v0 // 4:v0 // 4 + vb4 // 4] = (
+            g4[:, :, 0] | (g4[:, :, 1] << 2)
+            | (g4[:, :, 2] << 4) | (g4[:, :, 3] << 6))
+
+    assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), (
+        "Only biallelic SNPs are supported. Please make sure multiallelic "
+        "sites have been removed.")
+    mean = float((counts * np.arange(4)).sum()) / max(1, int(counts.sum()))
+    if mean >= 1:
+        packed = flip_packed_minor_allele(packed)
+        if m_pad != M:  # re-zero padding columns the flip turned into 2s
+            w_last = M // 4
+            tail = unpack_2bit_rows(packed[:, w_last:], m_pad - w_last * 4)
+            tail[:, M - w_last * 4:] = 0
+            packed[:, w_last:] = pack_2bit_rows(tail)
+    return packed, N, M
+
+
+def write_pgen_mode2(path: str, G: np.ndarray,
+                     psam: Optional[bool] = True) -> None:
+    """Write a mode-0x02 fixed-width PGEN file (plus a minimal .psam).
+
+    Used by tests and tooling to produce valid PGEN fixtures without
+    pgenlib. ``G`` is (N, M) uint8 dosages with 3 = missing.
+    """
+    G = np.ascontiguousarray(G, dtype=np.uint8)
+    N, M = G.shape
+    n4 = -(-N // 4) * 4
+    gv = np.zeros((M, n4), dtype=np.uint8)
+    gv[:, :N] = G.T
+    g4 = gv.reshape(M, n4 // 4, 4)
+    records = (g4[:, :, 0] | (g4[:, :, 1] << 2)
+               | (g4[:, :, 2] << 4) | (g4[:, :, 3] << 6)).astype(np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(MAGIC + b"\x02")
+        fh.write(np.asarray([M], "<u4").tobytes())
+        fh.write(np.asarray([N], "<u4").tobytes())
+        fh.write(records.tobytes())
+    if psam:
+        with open(Path(path).with_suffix(".psam"), "w") as fh:
+            fh.write("#IID\tSEX\n")
+            for i in range(N):
+                fh.write(f"sample{i}\tNA\n")

@@ -30,32 +30,29 @@ class SNPReader:
 
     def _read_pgen(self, file: str) -> np.ndarray:
         log.info("    Input format is PGEN.")
+        # Block-streamed dosage read; works without pgenlib for fixed-width
+        # storage modes (io.pgen). Same role as the reference's PGEN branch
+        # (/root/reference/neural_admixture/src/snp_reader.py:47-71), which
+        # instead materializes the full (M, 2N) allele-code matrix.
+        from .pgen import read_pgen
         try:
-            import pgenlib as pg
-        except ImportError:
-            log.error("    Cannot read PGEN file as pgenlib is not installed.")
+            return read_pgen(file)
+        except NotImplementedError as exc:
+            log.error(f"    {exc}")
             sys.exit(1)
-        # Same allele-pair summation as the reference
-        # (/root/reference/neural_admixture/src/snp_reader.py:47-71).
-        pgen_reader = pg.PgenReader(str.encode(file))
-        num_vars = pgen_reader.get_variant_ct()
-        num_samples = pgen_reader.get_raw_sample_ct()
-        calldata = np.empty((num_vars, 2 * num_samples), dtype=np.uint8)
-        pgen_reader.read_alleles_range(0, num_vars, calldata)
-        return np.ascontiguousarray((calldata[:, ::2] + calldata[:, 1::2]).T).astype(np.uint8)
 
     def _read_vcf(self, file: str) -> np.ndarray:
         log.info("    Input format is VCF.")
+        # Role of /root/reference/neural_admixture/src/snp_reader.py:73-87.
         try:
             import allel
         except ImportError:
-            from .vcf import read_vcf
+            from .vcf import read_vcf  # built-in dependency-free parser
             return read_vcf(file)
-        f_tr = allel.read_vcf(file, fields=["calldata/GT"],
-                              types={"calldata/GT": "i1"}, fills={"calldata/GT": -1})
-        G = np.ascontiguousarray(np.sum(f_tr["calldata/GT"], axis=2, dtype=np.int8).T)
-        G[G < 0] = 3
-        return G.astype(np.uint8)
+        gt = allel.read_vcf(file, fields=["calldata/GT"])["calldata/GT"]
+        # Alt-allele dosage per call; fill=3 marks missing calls directly.
+        dosage = allel.GenotypeArray(gt).to_n_alt(fill=3)  # (M, N)
+        return np.ascontiguousarray(dosage.T.astype(np.uint8))
 
     def read_data(self, file: str) -> np.ndarray:
         file_extensions = Path(file).suffixes

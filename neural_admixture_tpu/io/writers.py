@@ -11,6 +11,7 @@ File contracts mirror the reference:
     a torch .pt.
 """
 import json
+import os
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -19,27 +20,35 @@ import numpy as np
 from ..utils.logger import log, setup_logging
 
 
+def _atomic_savetxt(path: Path, arr: np.ndarray) -> None:
+    """Stage to .tmp then rename, so a crash mid-write never leaves a
+    truncated matrix where a consumer (or a resumed run) will read it."""
+    tmp = path.with_name(path.name + ".tmp")
+    np.savetxt(tmp, arr, delimiter=" ")
+    os.replace(tmp, path)
+
+
 def write_outputs(Qs: List[np.ndarray], run_name: str, K: Optional[int],
                   min_k: Optional[int], max_k: Optional[int], out_path: str,
                   Ps: Optional[List[np.ndarray]] = None) -> None:
-    setup_logging()
-    out_path = Path(out_path)
-    out_path.mkdir(parents=True, exist_ok=True)
+    """Write one ``{run_name}.{k}.Q`` (and optionally ``.P``) per K.
 
-    if K is not None:
-        np.savetxt(out_path / f"{run_name}.{K}.Q", Qs[0], delimiter=" ")
+    The filename / space-delimiter contract is the ADMIXTURE-compatible
+    output format of the reference (file layout per
+    /root/reference/neural_admixture/src/utils.py:36-67); each file is
+    written atomically.
+    """
+    setup_logging()
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    ks = [K] if K is not None else list(range(min_k, max_k + 1))
+    for i, k in enumerate(ks):
+        _atomic_savetxt(out / f"{run_name}.{k}.Q", Qs[i])
         if Ps is not None:
-            np.savetxt(out_path / f"{run_name}.{K}.P", Ps[0], delimiter=" ")
-            log.info("    Q and P matrices saved.")
-        else:
-            log.info("    Q matrix saved.")
-    else:
-        for i, k in enumerate(range(min_k, max_k + 1)):
-            np.savetxt(out_path / f"{run_name}.{k}.Q", Qs[i], delimiter=" ")
-            if Ps is not None:
-                np.savetxt(out_path / f"{run_name}.{k}.P", Ps[i], delimiter=" ")
-        log.info("    Q and P matrices saved for all K." if Ps is not None
-                 else "    Q matrices saved for all K.")
+            _atomic_savetxt(out / f"{run_name}.{k}.P", Ps[i])
+    what = "Q and P matrices" if Ps is not None else "Q matrices"
+    log.info(f"    {what} written for K = "
+             f"{', '.join(str(k) for k in ks)}.")
 
 
 def save_config(name: str, save_dir: str, ks: List[int], num_features: int,
@@ -57,8 +66,11 @@ def save_config(name: str, save_dir: str, ks: List[int], num_features: int,
     }
     if num_snps is not None:
         config["num_snps"] = int(num_snps)
-    with open(Path(save_dir) / f"{name}_config.json", "w") as fb:
+    path = Path(save_dir) / f"{name}_config.json"
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as fb:
         json.dump(config, fb)
+    os.replace(tmp, path)
     log.info("    Configuration file saved.")
 
 
@@ -100,9 +112,11 @@ def save_checkpoint(params: Dict, name: str, save_dir: str,
     to_save = {k: v for k, v in params.items()
                if not (strip_decoders and k == "decoders")}
     flat = _flatten(to_save)
-    path = str(Path(save_dir) / f"{name}.npz")
-    np.savez(path, **flat)
-    return path
+    path = Path(save_dir) / f"{name}.npz"
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+    return str(path)
 
 
 def load_checkpoint(name: str, save_dir: str) -> Dict:

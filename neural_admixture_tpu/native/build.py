@@ -20,9 +20,16 @@ def build(force: bool = False) -> Path:
         return LIB
     cxx = sysconfig.get_config_var("CXX") or "g++"
     cxx = cxx.split()[0]
-    cmd = [cxx, "-O3", "-march=native", "-pthread", "-std=c++17", "-shared",
-           "-fPIC", str(SRC), "-o", str(LIB)]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=x86-64-v3 (AVX2 baseline), not -march=native: the cached .so may
+    # be baked into an image and run on a different host; -native binaries
+    # SIGILL on older CPUs. Falls back for non-x86 or very old compilers.
+    for march in ("-march=x86-64-v3", "-march=native"):
+        cmd = [cxx, "-O3", march, "-pthread", "-std=c++17", "-shared",
+               "-fPIC", str(SRC), "-o", str(LIB)]
+        res = subprocess.run(cmd, capture_output=True)
+        if res.returncode == 0:
+            return LIB
+    res.check_returncode()
     return LIB
 
 

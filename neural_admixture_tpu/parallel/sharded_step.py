@@ -83,8 +83,9 @@ def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
     if supervised:
         # Q is replicated over the snp axis; divide so the (data, snp) psum
         # counts each sample's CE exactly once.
-        hk0 = sorted(qs.keys())[0]
-        ce = softmax_cross_entropy_sum(qs[hk0], pops_batch, row_weight)
+        from ..train.engine import smallest_head
+        ce = softmax_cross_entropy_sum(qs[smallest_head(qs)], pops_batch,
+                                       row_weight)
         loss = loss + supervised_loss_weight * ce / n_snp
     return loss
 

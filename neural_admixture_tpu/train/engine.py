@@ -79,13 +79,18 @@ def _use_pallas(cfg: TrainConfig) -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def smallest_head(qs) -> str:
+    """Head key of the numerically smallest K. Lexicographic sort is wrong
+    for multi-K runs including K >= 10 ('k10' < 'k3')."""
+    return min(qs, key=lambda hk: int(hk[1:]))
+
+
 def _supervised_term(qs, pops_batch, row_weight, supervised_loss_weight):
-    # Single-head supervised mode: CE over the (softmaxed) Q of the first
-    # head, treated as logits -- faithful to the reference
+    # Single-head supervised mode: CE over the (softmaxed) Q of the
+    # smallest-K head, treated as logits -- faithful to the reference
     # (model/neural_admixture.py:460-474).
-    hk0 = sorted(qs.keys())[0]
     return supervised_loss_weight * softmax_cross_entropy_sum(
-        qs[hk0], pops_batch, row_weight)
+        qs[smallest_head(qs)], pops_batch, row_weight)
 
 
 def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
@@ -239,6 +244,8 @@ class NeuralAdmixtureTrainer:
         col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
 
         mesh = self._pick_mesh(m_pad, use_pallas)
+        self._mesh_shape = (tuple(int(s) for s in mesh.devices.shape)
+                            if mesh is not None else (1, 1))
 
         self._perm = None
         if use_pallas:
@@ -318,11 +325,15 @@ class NeuralAdmixtureTrainer:
         loss_sum = None
         for epoch in epoch_iter:
             key, k_epoch = jax.random.split(key)
-            logged = self.master and epoch % log_every == 0
+            # All ranks must select the same program: the logged/fast variants
+            # differ in collectives under shard_map (the loss psum is DCE'd in
+            # the fast one), so gating the *choice* on rank would desync SPMD
+            # programs in a multi-process run. Only the log is master-gated.
+            logged = epoch % log_every == 0
             epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
             params, opt_state, loss_sum = epoch_fn(
                 params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
-            if logged:
+            if logged and self.master:
                 log.info(f"            Loss in epoch {epoch:3d} is "
                          f"{float(loss_sum):,.0f}")
             if (cfg.checkpoint_every and cfg.checkpoint_path
@@ -357,19 +368,37 @@ class NeuralAdmixtureTrainer:
               for k in self.ks]
         return Qs, Ps, params
 
+    def _ckpt_meta(self) -> Dict:
+        """Hyperparameters that must match between save and resume: training
+        silently diverges (or fails late on device) if any of them changes
+        under a restored optimizer state."""
+        cfg = self.cfg
+        return {
+            "mesh_shape": list(self._mesh_shape),
+            "ks": list(self.ks),
+            "batch_size": int(cfg.batch_size),
+            "hidden_size": int(cfg.hidden_size),
+            "n_components": int(cfg.n_components),
+            "seed": int(cfg.seed),
+        }
+
     def _save_checkpoint(self, epoch: int, params, opt_state, key) -> None:
         """Serialize the full resumable training state (params including
         decoders, optimizer moments, RNG key) -- a capability the reference
         lacks (final-state-only save, SURVEY.md section 5)."""
+        import json
         leaves = [np.asarray(x) for x in jax.tree.leaves((params, opt_state))]
         arrays = {f"leaf_{i}": a for i, a in enumerate(leaves)}
         tmp = f"{self.cfg.checkpoint_path}.tmp.npz"
         np.savez(tmp, epoch=np.int64(epoch), key=np.asarray(key),
-                 planar=np.bool_(self._perm is not None), **arrays)
+                 planar=np.bool_(self._perm is not None),
+                 meta=np.bytes_(json.dumps(self._ckpt_meta()).encode()),
+                 **arrays)
         import os
         os.replace(tmp, self.cfg.checkpoint_path)
 
     def _load_checkpoint(self, params, opt_state, key):
+        import json
         import os
         path = self.cfg.checkpoint_path
         if not path or not os.path.exists(path):
@@ -383,6 +412,17 @@ class NeuralAdmixtureTrainer:
                     "Checkpoint was written with a different device layout "
                     f"(planar={ck_planar}); resume with the same "
                     "use_pallas/backend setting it was trained with.")
+            if "meta" in data:
+                saved = json.loads(bytes(data["meta"]).decode())
+                now = self._ckpt_meta()
+                diffs = {k: (saved.get(k), now[k]) for k in now
+                         if saved.get(k) != now[k]}
+                if diffs:
+                    raise ValueError(
+                        "Checkpoint hyperparameters do not match this run; "
+                        "refusing to resume. Mismatches (checkpoint vs now): "
+                        + ", ".join(f"{k}: {a} vs {b}"
+                                    for k, (a, b) in sorted(diffs.items())))
             leaves = [data[f"leaf_{i}"]
                       for i in range(len(jax.tree.leaves((params, opt_state))))]
         treedef = jax.tree.structure((params, opt_state))
@@ -400,19 +440,41 @@ class NeuralAdmixtureTrainer:
         new_opt = jax.tree.map(_restore, opt_state, new_opt)
         return epoch, new_params, new_opt, new_key
 
+    def _auto_snp_axis(self, n_dev: int, m_pad: int, snp_quantum: int) -> int:
+        """Auto mesh policy: devices go to the snp axis only when the
+        SNP-plane training state (V + every decoder P, each with two Adam
+        moments, plus gathered-batch scratch) would exceed the per-chip HBM
+        budget; otherwise pure data parallelism (fewer collectives). The
+        budget is 8 GiB by default -- half a v5e chip, leaving room for the
+        resident packed genotypes -- overridable via NA_TPU_HBM_BUDGET_GB."""
+        import os
+        budget = float(os.environ.get("NA_TPU_HBM_BUDGET_GB", "8"))
+        cfg = self.cfg
+        plane_rows = cfg.n_components + sum(self.ks)
+        plane_bytes = m_pad * plane_rows * 4 * 3 \
+            + cfg.batch_size * m_pad  # f32 state x (param + 2 moments) + X
+        n_snp = 1
+        while (plane_bytes / n_snp > budget * 2**30 and n_snp < n_dev
+               and n_dev % (n_snp * 2) == 0
+               and m_pad % (n_snp * 2 * snp_quantum) == 0):
+            n_snp *= 2
+        return n_snp
+
     def _pick_mesh(self, m_pad: int, use_pallas: bool):
-        """Resolve the device mesh: explicit cfg.mesh_shape, or all visible
-        devices data-parallel when more than one is present."""
+        """Resolve the device mesh: explicit cfg.mesh_shape, or the auto
+        policy (all visible devices, snp axis engaged only under HBM
+        pressure) when more than one device is present."""
         shape = self.cfg.mesh_shape
+        snp_quantum = pk.PLANAR_TILE if use_pallas else 4
         if shape is None:
             n_dev = jax.device_count()
             if n_dev <= 1:
                 return None
-            shape = (n_dev, 1)
+            n_snp = self._auto_snp_axis(n_dev, m_pad, snp_quantum)
+            shape = (n_dev // n_snp, n_snp)
         n_data, n_snp = shape
         if n_data * n_snp <= 1:
             return None
-        snp_quantum = pk.PLANAR_TILE if use_pallas else 4
         assert m_pad % (n_snp * snp_quantum) == 0, (
             f"m_pad={m_pad} is not divisible by n_snp={n_snp} x "
             f"{snp_quantum}; choose a smaller snp mesh axis")

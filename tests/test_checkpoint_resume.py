@@ -51,6 +51,27 @@ def test_resume_without_checkpoint_starts_fresh(tmp_path):
     assert Qs[0].shape == (N, 3)
 
 
+def test_resume_rejects_changed_hyperparameters(tmp_path):
+    """Resuming with any changed hyperparameter must raise before touching
+    devices (a silent mismatch trains wrong or fails late on device)."""
+    import pytest
+    G, V, P_init, packed = _data()
+    N, M = G.shape
+    cfg1 = _cfg(tmp_path, 2, checkpoint_every=2)
+    NeuralAdmixtureTrainer(cfg1).launch_training(P_init.copy(), packed, V, M, N)
+
+    for change in ({"batch_size": 24}, {"hidden_size": 64}, {"seed": 7},
+                   {"ks": [4]}):
+        cfg2 = _cfg(tmp_path, 4, checkpoint_every=2, resume=True)
+        for k, v in change.items():
+            setattr(cfg2, k, v)
+        p2 = P_init.copy()
+        if "ks" in change:
+            p2 = np.concatenate([P_init, P_init[:1]], axis=0)
+        with pytest.raises(ValueError, match="hyperparameters"):
+            NeuralAdmixtureTrainer(cfg2).launch_training(p2, packed, V, M, N)
+
+
 def test_resume_rejects_different_layout(tmp_path):
     import pytest
     G, V, P_init, packed = _data()

@@ -1,31 +1,46 @@
-"""Fused Pallas kernels vs the XLA reference path (interpret mode on CPU)."""
+"""The production fused-step Pallas kernels vs the XLA reference math
+(interpret mode on CPU). These are the exact pallas_call wrappers the
+training engine runs (ops.fused_step); the custom-VJP glue around them is
+covered end-to-end by tests/test_engine_pallas.py."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from neural_admixture_tpu.io.packed import pack_2bit_rows
+from neural_admixture_tpu.ops import fused_step as fs
 from neural_admixture_tpu.ops import pack as pk
-from neural_admixture_tpu.ops.fused import (fused_clamped_bce_sum, packed_xv,
-                                            pick_tb)
+from neural_admixture_tpu.ops.fused import pick_tb
 from neural_admixture_tpu.ops.loss import clamped_bce_sum
 
 
 def _setup(B=16, M=3000, m_pad=4096, K=5, seed=0):
+    """Tile-major packed batch + planar-permuted P/col_mask, exactly as the
+    engine lays them out (train/engine.py launch_training)."""
     rng = np.random.default_rng(seed)
     G = rng.integers(0, 4, size=(B, M)).astype(np.uint8)
     packed = pack_2bit_rows(G, m_pad=m_pad)
-    u32 = jnp.asarray(pk.packed_view_u32(packed))
+    rows_u32 = pk.packed_view_u32(packed)
+    tiles = jnp.asarray(np.ascontiguousarray(pk.tiles_from_rows(rows_u32)))
     perm = pk.planar_perm(m_pad)
     Q = jnp.asarray(rng.dirichlet(np.ones(K), size=B).astype(np.float32))
     P = jnp.asarray(rng.uniform(-0.1, 1.1, size=(K, m_pad)).astype(np.float32))
     cm = jnp.asarray((np.arange(m_pad) < M).astype(np.float32))
     rw = jnp.asarray((rng.uniform(size=B) > 0.2).astype(np.float32))
-    return G, u32, perm, Q, P, cm, rw, m_pad
+    return G, tiles, perm, Q, P, cm, rw, m_pad
+
+
+def _ref_loss_fn(G, m_pad, cm, rw):
+    x = pk.unpack_dosage_x(jnp.asarray(pack_2bit_rows(G, m_pad=m_pad)))
+
+    def ref_loss(Q, P):
+        return clamped_bce_sum(Q @ P, x, cm, rw)
+    return ref_loss, x
 
 
 def test_planar_unpack_is_permuted_unpack():
-    G, u32, perm, *_ , m_pad = _setup()
-    g_planar = np.asarray(pk.unpack_genotypes_planar(u32))
+    G, tiles, perm, *_, m_pad = _setup()
+    u32_rows = pk.rows_from_tiles(tiles)
+    g_planar = np.asarray(pk.unpack_genotypes_planar(u32_rows))
     G_pad = np.zeros((G.shape[0], m_pad), np.uint8)
     G_pad[:, :G.shape[1]] = G
     np.testing.assert_array_equal(g_planar, G_pad[:, perm])
@@ -38,68 +53,99 @@ def test_planar_perm_is_permutation():
     np.testing.assert_array_equal(perm[inv], np.arange(4096))
 
 
-def test_fused_bce_matches_reference_loss_and_grads():
-    G, u32, perm, Q, P, cm, rw, m_pad = _setup()
+def test_loss_and_grad_kernels_match_reference():
+    G, tiles, perm, Q, P, cm, rw, m_pad = _setup()
     permj = jnp.asarray(perm)
+    Pp, cmp_ = P[:, permj], cm[permj]
+    cm2, rw2 = cmp_.reshape(1, -1), rw.reshape(-1, 1)
+    tb = pick_tb(Q.shape[0])
 
-    def ref_loss(Q, P):
-        x = pk.unpack_dosage_x(jnp.asarray(pack_2bit_rows(G, m_pad=m_pad)))
-        raw = Q @ P
-        return clamped_bce_sum(raw, x, cm, rw)
+    ref_loss, _ = _ref_loss_fn(G, m_pad, cm, rw)
+    l_ref, (dq_ref, dp_ref) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1))(Q, P)
 
-    def fused_loss(Q, P):
-        return fused_clamped_bce_sum(Q, P[:, permj], u32, cm[permj], rw)
-
-    l_ref, (dq_ref, dp_ref) = jax.value_and_grad(ref_loss, argnums=(0, 1))(Q, P)
-    l_fus, (dq_fus, dp_fus) = jax.value_and_grad(fused_loss, argnums=(0, 1))(Q, P)
-
+    l_fus = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb)
     np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=2e-5)
+
+    (dq_fus,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
     np.testing.assert_allclose(np.asarray(dq_fus), np.asarray(dq_ref),
                                rtol=2e-4, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(dp_fus), np.asarray(dp_ref),
-                               rtol=2e-4, atol=2e-3)
+
+    dXp = jnp.zeros((Q.shape[0], 4), jnp.float32)
+    (dp_fus,), _ = fs._dp_dv_call([Q], [Pp], tiles, cm2, rw2, dXp,
+                                  jnp.float32(1.0), tb)
+    inv = jnp.asarray(pk.inverse_perm(perm))
+    np.testing.assert_allclose(np.asarray(dp_fus[:, inv]),
+                               np.asarray(dp_ref), rtol=2e-4, atol=2e-3)
 
 
-def test_packed_xv_matches_reference_and_dv():
-    G, u32, perm, *_ , m_pad = _setup()
+def test_xv_and_dv_kernels_match_reference():
+    G, tiles, perm, *_, m_pad = _setup()
     rng = np.random.default_rng(1)
-    D = 8
+    B, D = G.shape[0], 8
     V = jnp.asarray(rng.normal(size=(m_pad, D)).astype(np.float32) * 0.1)
+    dXp = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
     permj = jnp.asarray(perm)
+    tb = pick_tb(B)
 
     x = pk.unpack_dosage_x(jnp.asarray(pack_2bit_rows(G, m_pad=m_pad)))
+    xv_fus = fs._xv_call(tiles, V[permj], tb)
+    np.testing.assert_allclose(np.asarray(xv_fus), np.asarray(x @ V),
+                               rtol=1e-5, atol=1e-5)
 
-    def ref(V):
-        return jnp.sum(jnp.sin(x @ V))
+    K = 3
+    Q = jnp.asarray(rng.dirichlet(np.ones(K), size=B).astype(np.float32))
+    Pp = jnp.asarray(rng.uniform(0.2, 0.8, (K, m_pad)).astype(np.float32))
+    cm2 = jnp.ones((1, m_pad), jnp.float32)
+    rw2 = jnp.ones((B, 1), jnp.float32)
+    _, dv_fus = fs._dp_dv_call([Q], [Pp], tiles, cm2, rw2, dXp,
+                               jnp.float32(1.0), tb)
+    inv = jnp.asarray(pk.inverse_perm(perm))
+    np.testing.assert_allclose(np.asarray(dv_fus[inv, :]),
+                               np.asarray(x.T @ dXp), rtol=1e-4, atol=1e-4)
 
-    def fused(V):
-        return jnp.sum(jnp.sin(packed_xv(u32, V[permj])))
 
-    y_ref, dv_ref = jax.value_and_grad(ref)(V)
-    y_fus, dv_fus = jax.value_and_grad(fused)(V)
-    np.testing.assert_allclose(float(y_fus), float(y_ref), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(dv_fus), np.asarray(dv_ref),
-                               rtol=1e-4, atol=1e-5)
+def test_multihead_kernels_share_passes():
+    """Multi-head loss / dq outputs equal the per-head single calls."""
+    G, tiles, perm, Q, P, cm, rw, m_pad = _setup(K=4)
+    permj = jnp.asarray(perm)
+    rng = np.random.default_rng(2)
+    Q2 = jnp.asarray(rng.dirichlet(np.ones(7), size=G.shape[0])
+                     .astype(np.float32))
+    P2 = jnp.asarray(rng.uniform(0.1, 0.9, (7, m_pad)).astype(np.float32))
+    Pp, P2p, cmp_ = P[:, permj], P2[:, permj], cm[permj]
+    cm2, rw2 = cmp_.reshape(1, -1), rw.reshape(-1, 1)
+    tb = pick_tb(Q.shape[0])
+
+    l_multi = fs._loss_call([Q, Q2], [Pp, P2p], tiles, cm2, rw2, tb)
+    l_a = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb)
+    l_b = fs._loss_call([Q2], [P2p], tiles, cm2, rw2, tb)
+    np.testing.assert_allclose(float(l_multi), float(l_a) + float(l_b),
+                               rtol=1e-6)
+
+    dq_a, dq_b = fs._dq_call([Q, Q2], [Pp, P2p], tiles, cm2, rw2, tb)
+    (dq_a1,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_b1,) = fs._dq_call([Q2], [P2p], tiles, cm2, rw2, tb)
+    np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_a1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dq_b), np.asarray(dq_b1), rtol=1e-6)
 
 
 def test_fast_recip_backward_matches_exact(monkeypatch):
     """Pin the production (approx-reciprocal) backward branch: force it on
     in interpret mode and compare against the exact-division gradients
     (interpret emulation error ~1e-3; the real TPU unit is ~8e-6)."""
-    G, u32, perm, Q, P, cm, rw, m_pad = _setup()
+    G, tiles, perm, Q, P, cm, rw, m_pad = _setup()
     permj = jnp.asarray(perm)
-
-    def loss(Q, P):
-        return fused_clamped_bce_sum(Q, P[:, permj], u32, cm[permj], rw)
+    Pp, cmp_ = P[:, permj], cm[permj]
+    cm2, rw2 = cmp_.reshape(1, -1), rw.reshape(-1, 1)
+    tb = pick_tb(Q.shape[0])
 
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "1")
-    dq_e, dp_e = jax.grad(loss, argnums=(0, 1))(Q, P)
+    (dq_e,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "0")
-    dq_a, dp_a = jax.grad(loss, argnums=(0, 1))(Q, P)
+    (dq_a,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
 
     np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_e),
-                               rtol=5e-3, atol=5e-2)
-    np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_e),
                                rtol=5e-3, atol=5e-2)
 
 

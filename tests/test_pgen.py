@@ -1,0 +1,150 @@
+"""PGEN reader tests: pure-Python fixed-width modes, the pgenlib-backed
+block reader (against a fake pgenlib), and the streaming packed path."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from neural_admixture_tpu.io import pgen as pgen_mod
+from neural_admixture_tpu.io.packed import pack_with_padding, unpack_2bit_rows
+from neural_admixture_tpu.io.pgen import (read_pgen, read_pgen_packed,
+                                          write_pgen_mode2)
+
+
+def _geno(N=37, M=210, seed=0, missing=True, flip=False):
+    rng = np.random.default_rng(seed)
+    if flip:  # mean >= 1 triggers the minor-allele flip
+        G = rng.choice([1, 2, 2, 0], size=(N, M)).astype(np.uint8)
+    else:
+        G = rng.choice([0, 0, 1, 2], size=(N, M)).astype(np.uint8)
+    if missing:
+        G[rng.uniform(size=G.shape) < 0.05] = 3
+    G[0, 0] = 0  # pin validation: min == 0
+    G[1, 1] = 2  # and max >= 2
+    return G
+
+
+def test_mode2_roundtrip(tmp_path):
+    G = _geno()
+    path = str(tmp_path / "toy.pgen")
+    write_pgen_mode2(path, G)
+    got = read_pgen(path)
+    np.testing.assert_array_equal(got, G)
+
+
+def test_mode1_bed_body(tmp_path):
+    """Mode 0x01: the payload is a PLINK1 .bed body; N comes from .psam."""
+    G = _geno(N=21, M=50)
+    N, M = G.shape
+    # dosage -> BED 2-bit code: 0->0b11, 1->0b10, 2->0b00, 3->0b01
+    code = np.array([3, 2, 0, 1], dtype=np.uint8)[G.T]  # (M, N)
+    n4 = -(-N // 4) * 4
+    cv = np.zeros((M, n4), dtype=np.uint8)
+    cv[:, :N] = code
+    c4 = cv.reshape(M, n4 // 4, 4)
+    body = (c4[:, :, 0] | (c4[:, :, 1] << 2)
+            | (c4[:, :, 2] << 4) | (c4[:, :, 3] << 6)).astype(np.uint8)
+    path = tmp_path / "toy1.pgen"
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x01" + body.tobytes())
+    with open(tmp_path / "toy1.psam", "w") as fh:
+        fh.write("#IID\n" + "\n".join(f"s{i}" for i in range(N)) + "\n")
+    np.testing.assert_array_equal(read_pgen(str(path)), G)
+
+
+def test_unsupported_mode_raises(tmp_path):
+    path = tmp_path / "toy.pgen"
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x10" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="pgenlib"):
+        read_pgen(str(path))
+
+
+def test_bad_magic_raises(tmp_path):
+    path = tmp_path / "toy.pgen"
+    path.write_bytes(b"\x00\x00\x02" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="magic"):
+        read_pgen(str(path))
+
+
+def test_pgenlib_block_reader_with_fake_module(tmp_path, monkeypatch):
+    """The pgenlib-backed path: read_range fills int8 blocks with -9 for
+    missing hardcalls; our reader must map them to 3 and transpose."""
+    G = _geno(N=11, M=40)
+
+    class FakePgenReader:
+        def __init__(self, path_bytes):
+            assert isinstance(path_bytes, bytes)
+
+        def get_variant_ct(self):
+            return G.shape[1]
+
+        def get_raw_sample_ct(self):
+            return G.shape[0]
+
+        def read_range(self, v0, v1, out):
+            block = G.T[v0:v1].astype(np.int8)
+            block[block == 3] = -9
+            out[:] = block
+
+    fake = types.ModuleType("pgenlib")
+    fake.PgenReader = FakePgenReader
+    monkeypatch.setitem(sys.modules, "pgenlib", fake)
+    monkeypatch.setattr(pgen_mod, "_BLOCK_VARIANTS", 16)  # force >1 block
+
+    got = read_pgen(str(tmp_path / "whatever.pgen"))
+    np.testing.assert_array_equal(got, G)
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_read_pgen_packed_matches_dense(tmp_path, flip, monkeypatch):
+    """Streaming-to-packed equals dense-read + normalize + pack."""
+    monkeypatch.setattr(pgen_mod, "_BLOCK_VARIANTS", 64)
+    G = _geno(N=19, M=333, flip=flip)
+    path = str(tmp_path / "toy.pgen")
+    write_pgen_mode2(path, G)
+
+    packed, N, M = read_pgen_packed(path)
+    assert (N, M) == G.shape
+
+    Gn = G.copy()
+    if Gn.mean() >= 1:
+        miss = Gn == 3
+        Gn = (2 - Gn.astype(np.int16)).astype(np.uint8)
+        Gn[miss] = 3
+    expected, m_pad = pack_with_padding(Gn)
+    np.testing.assert_array_equal(packed, expected)
+    # and the padding columns are zero dosages
+    tail = unpack_2bit_rows(packed, m_pad)[:, M:]
+    assert (tail == 0).all()
+
+
+def test_snp_reader_dispatches_pgen(tmp_path):
+    from neural_admixture_tpu.io.snp_reader import SNPReader
+    G = _geno(N=12, M=64, missing=False)
+    path = str(tmp_path / "toy.pgen")
+    write_pgen_mode2(path, G)
+    got = SNPReader().read_data(path)
+    assert got.shape == G.shape
+    assert got.min() == 0 and got.max() in (2, 3)
+
+
+def test_train_cli_on_pgen(tmp_path):
+    """End-to-end: train on a PGEN fileset through the packed-native path."""
+    from neural_admixture_tpu.entry import main as cli_main
+    rng = np.random.default_rng(3)
+    G = rng.choice([0, 1, 2], p=[0.6, 0.3, 0.1], size=(40, 120)) \
+        .astype(np.uint8)
+    path = str(tmp_path / "train.pgen")
+    write_pgen_mode2(path, G)
+    out = str(tmp_path / "out")
+    rc = cli_main(["train", "--k", "3", "--data_path", path,
+                   "--save_dir", out, "--name", "pg", "--epochs", "2",
+                   "--batch_size", "16", "--hidden_size", "16",
+                   "--no_progress"])
+    assert rc == 0
+    Q = np.genfromtxt(f"{out}/pg.3.Q")
+    P = np.genfromtxt(f"{out}/pg.3.P")
+    assert Q.shape == (40, 3) and P.shape == (120, 3)
+    np.testing.assert_allclose(Q.sum(axis=1), 1.0, atol=1e-4)
