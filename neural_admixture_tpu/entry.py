@@ -96,6 +96,13 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         help="Number of components to use for the SVD initialization.")
     parser.add_argument("--num_gpus", required=False, default=0, type=int,
                         help="Number of devices to be used in the execution.")
+    parser.add_argument("--mesh", required=False, default=None, type=str,
+                        help="Device mesh as DATAxSNP, e.g. '4x2' = 4-way "
+                        "sample parallelism x 2-way SNP sharding of V/P/"
+                        "batches. Overrides --num_gpus. Default: all devices "
+                        "data-parallel, moving devices to the snp axis "
+                        "automatically when per-chip SNP-plane state would "
+                        "exceed the HBM budget.")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",
@@ -171,6 +178,11 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             "Supervised loss weight must be >= 0."
         assert args.n_components > 0, \
             "Number of components for SVD must be > 0."
+        if getattr(args, "mesh", None):
+            import re
+            assert re.fullmatch(r"[1-9]\d*x[1-9]\d*", args.mesh), (
+                f"--mesh must look like '4x2' (data x snp), got "
+                f"'{args.mesh}'.")
         if args.k is not None:
             assert args.k > 1, "Please select K > 1."
             log.info(f"    Running on K = {args.k}.")

@@ -23,6 +23,7 @@ from ..io.snp_reader import read_data
 from ..io.writers import save_checkpoint, save_config, write_outputs
 from ..ops.loglikelihood import loglikelihood, loglikelihood_packed
 from ..ops.rsvd import rsvd
+from ..parallel.distributed import is_master, shutdown_distributed
 from ..utils.logger import log, setup_logging
 from .engine import NeuralAdmixtureTrainer, TrainConfig
 from .init import (encode_populations, init_p_supervised,
@@ -37,6 +38,18 @@ def _read_pops(pops_path):
         return [p.strip() for p in fb.readlines()]
 
 
+def _resolve_mesh_shape(args):
+    """(n_data, n_snp) from --mesh 'DxS', else --num_gpus (all-DP), else
+    None (engine auto-policy over all visible devices)."""
+    mesh = getattr(args, "mesh", None)
+    if mesh:
+        n_data, n_snp = (int(s) for s in mesh.lower().split("x"))
+        return (n_data, n_snp)
+    if int(args.num_gpus) > 0:
+        return (int(args.num_gpus), 1)
+    return None
+
+
 def main_train(args, t0: float) -> int:
     setup_logging()
     if args.k is not None:
@@ -46,11 +59,19 @@ def main_train(args, t0: float) -> int:
         K, min_k, max_k = None, int(args.min_k), int(args.max_k)
         ks = list(range(min_k, max_k + 1))
 
-    packed_native = ".bed" in Path(args.data_path).suffixes
+    # BED and PGEN stream straight into the sample-major 2-bit packed layout
+    # (no (N, M) uint8 matrix on host); other formats decode densely first.
+    suffixes = Path(args.data_path).suffixes
+    packed_native = ".bed" in suffixes or ".pgen" in suffixes
     data = None
     if packed_native:
-        log.info("    Input format is BED.")
-        packed, N, M = read_bed_packed(args.data_path)
+        if ".bed" in suffixes:
+            log.info("    Input format is BED.")
+            packed, N, M = read_bed_packed(args.data_path)
+        else:
+            log.info("    Input format is PGEN.")
+            from ..io.pgen import read_pgen_packed
+            packed, N, M = read_pgen_packed(args.data_path)
         log.info(f"    Data contains {N} samples and {M} SNPs.")
         pops = _read_pops(args.pops_path or None)
     else:
@@ -95,32 +116,43 @@ def main_train(args, t0: float) -> int:
         checkpoint_every=int(getattr(args, "checkpoint_every", 0) or 0),
         checkpoint_path=str(Path(args.save_dir) / f"{args.name}_ckpt.npz"),
         resume=bool(getattr(args, "resume", False)),
-        # --num_gpus N>0 pins the device count (reference semantics); 0 (the
-        # default) auto-selects all visible devices.
-        mesh_shape=(int(args.num_gpus), 1) if int(args.num_gpus) > 0 else None)
+        # --mesh DxS pins the (data, snp) mesh explicitly; --num_gpus N>0
+        # pins the device count, all data-parallel (reference semantics);
+        # otherwise auto (all visible devices, snp axis engaged only when
+        # the SNP-plane state exceeds the per-chip HBM budget).
+        mesh_shape=_resolve_mesh_shape(args))
     if cfg.checkpoint_every or cfg.resume:
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
-    trainer = NeuralAdmixtureTrainer(cfg)
-    Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
-                                             pops=y_num)
+    trainer = NeuralAdmixtureTrainer(cfg, master=is_master())
+    try:
+        Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
+                                                 pops=y_num)
 
-    # Log-likelihood report (reference: model/train.py:134-146).
-    for i, k in enumerate(sorted(ks)):
-        P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
-        Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
-        if packed_native:
-            logl = loglikelihood_packed(packed, M, P64, Q64)
-        else:
-            logl = loglikelihood(data, P64, Q64, k)
-        suffix = "" if K is not None else f" for K={k}"
-        log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
+        if is_master():
+            # Log-likelihood report (reference: model/train.py:134-146).
+            for i, k in enumerate(sorted(ks)):
+                P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
+                Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
+                if packed_native:
+                    logl = loglikelihood_packed(packed, M, P64, Q64)
+                else:
+                    logl = loglikelihood(data, P64, Q64, k)
+                suffix = "" if K is not None else f" for K={k}"
+                log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
 
-    Path(args.save_dir).mkdir(parents=True, exist_ok=True)
-    save_checkpoint(params, args.name, args.save_dir, strip_decoders=True)
-    save_config(args.name, args.save_dir, ks=sorted(ks),
-                num_features=V.shape[0], hidden_size=int(args.hidden_size),
-                num_snps=M)
-    write_outputs(Qs, args.name, K, min_k, max_k, args.save_dir, Ps)
+            Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+            save_checkpoint(params, args.name, args.save_dir,
+                            strip_decoders=True)
+            save_config(args.name, args.save_dir, ks=sorted(ks),
+                        num_features=V.shape[0],
+                        hidden_size=int(args.hidden_size), num_snps=M)
+            write_outputs(Qs, args.name, K, min_k, max_k, args.save_dir, Ps)
+    except Exception:
+        # Tear down the multi-process runtime before re-raising so peer
+        # processes fail fast instead of hanging on a dead collective
+        # (reference: src/main.py:119-133 tears down the NCCL group).
+        shutdown_distributed()
+        raise
 
     log.info("")
     log.info(f"    Total elapsed time: {time.time() - t0:.2f} seconds.")

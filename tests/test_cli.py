@@ -45,3 +45,34 @@ def test_infer_missing_config_returns_error(tmp_path):
     rc = main(["infer", "--name", "nope", "--save_dir", str(tmp_path),
                "--data_path", DEMO_BED, "--out_name", "x", "--threads", "1"])
     assert rc == 1
+
+
+def test_mesh_flag_reaches_the_engine(tmp_path):
+    """`--mesh DxS` must activate the (data, snp) mesh from the CLI (the
+    round-1 gap: SNP sharding existed but was unreachable by users). The
+    demo BED pads to m_pad=16384, so a 2-wide planar snp axis is legal."""
+    from neural_admixture_tpu.train.run import _resolve_mesh_shape
+    from neural_admixture_tpu.entry import parse_train_args
+
+    args = parse_train_args(
+        ["--k", "3", "--data_path", DEMO_BED, "--save_dir", str(tmp_path),
+         "--name", "m", "--mesh", "2x2"])
+    assert _resolve_mesh_shape(args) == (2, 2)
+    args.mesh = None
+    args.num_gpus = 4
+    assert _resolve_mesh_shape(args) == (4, 1)
+    args.num_gpus = 0
+    assert _resolve_mesh_shape(args) is None
+
+    rc = main(["train", "--k", "2", "--data_path", DEMO_BED,
+               "--save_dir", str(tmp_path), "--name", "mesh_run",
+               "--epochs", "1", "--threads", "2", "--batch_size", "64",
+               "--hidden_size", "32", "--mesh", "2x2", "--no_progress"])
+    assert rc == 0
+    assert np.loadtxt(tmp_path / "mesh_run.2.Q").shape == (105, 2)
+
+
+def test_mesh_flag_validation():
+    with pytest.raises(AssertionError, match="mesh"):
+        main(["train", "--k", "3", "--data_path", DEMO_BED,
+              "--save_dir", "/tmp/x", "--name", "m", "--mesh", "8"])
