@@ -81,56 +81,68 @@ def _loss_kernel(n_heads):
     return kernel
 
 
-def _dq_kernel(n_heads):
+def _dq_dp_kernel(n_heads):
+    """Merged pass 2: dq AND dp for all heads from ONE packed read.
+
+    The expensive per-tile ``draw`` (decode matmul + BCE/clamp backward
+    chain -- the dominant VPU cost) is computed once and feeds both
+    reductions, where the split dq / dp+dv kernels each recomputed it.
+    Grid is (nM, nB) with the batch axis innermost so each (k, TM) dp
+    block accumulates in VMEM; each full (B, k) dq output has a constant
+    index map, so it is VMEM-resident for the whole kernel and its rows
+    accumulate across the outer M loop with no HBM revisit traffic.
+    """
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
-        u_ref, cm_ref, rw_ref = refs[2 * n_heads:2 * n_heads + 3]
-        dq_refs = refs[2 * n_heads + 3:]
-        j = pl.program_id(1)
-
-        x = _unpack_x(u_ref[0])
-        mask_rw = cm_ref[:] * rw_ref[:]
-        for q_ref, p_ref, dq_ref in zip(q_refs, p_refs, dq_refs):
-            @pl.when(j == 0)
-            def _(dq_ref=dq_ref):
-                dq_ref[:] = jnp.zeros_like(dq_ref)
-            draw = _draw_tile(q_ref[:], p_ref[:], x, mask_rw)
-            dq_ref[:] += jax.lax.dot_general(
-                draw, p_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    return kernel
-
-
-def _dp_dv_kernel(n_heads):
-    def kernel(*refs):
-        q_refs = refs[:n_heads]
-        p_refs = refs[n_heads:2 * n_heads]
-        u_ref, cm_ref, rw_ref, dxp_ref, g_ref = \
-            refs[2 * n_heads:2 * n_heads + 5]
-        dp_refs = refs[2 * n_heads + 5:-1]
-        dv_ref = refs[-1]
-        i = pl.program_id(1)
+        u_ref, cm_ref, rw_ref, g_ref = refs[2 * n_heads:2 * n_heads + 4]
+        dq_refs = refs[2 * n_heads + 4:3 * n_heads + 4]
+        dp_refs = refs[3 * n_heads + 4:]
+        j = pl.program_id(0)  # M tile (outer)
+        i = pl.program_id(1)  # B tile (inner)
 
         x = _unpack_x(u_ref[0])
         mask_rw = cm_ref[:] * rw_ref[:]
         g = g_ref[0, 0]
-        for q_ref, p_ref, dp_ref in zip(q_refs, p_refs, dp_refs):
+        for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
+                                                dp_refs):
+            q = q_ref[:]
+            tb = q.shape[0]
+            draw = _draw_tile(q, p_ref[:], x, mask_rw)
+            dq_blk = jax.lax.dot_general(
+                draw, p_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            rows = pl.dslice(i * tb, tb)
+
+            @pl.when(j == 0)
+            def _(dq_ref=dq_ref, rows=rows, dq_blk=dq_blk):
+                dq_ref[rows, :] = dq_blk
+
+            @pl.when(j > 0)
+            def _(dq_ref=dq_ref, rows=rows, dq_blk=dq_blk):
+                dq_ref[rows, :] += dq_blk
+
             @pl.when(i == 0)
             def _(dp_ref=dp_ref):
                 dp_ref[:] = jnp.zeros_like(dp_ref)
-            draw = _draw_tile(q_ref[:], p_ref[:], x, mask_rw) * g
+            # dp wants g * q^T draw; scaling the tiny (tb, k) q is far
+            # cheaper than scaling the (tb, TM) draw.
             dp_ref[:] += jax.lax.dot_general(
-                q_ref[:], draw, (((0,), (0,)), ((), ())),
+                q * g, draw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-
-        @pl.when(i == 0)
-        def _():
-            dv_ref[:] = jnp.zeros_like(dv_ref)
-        dv_ref[:] += jax.lax.dot_general(
-            x, dxp_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
     return kernel
+
+
+def _dv_kernel(u_ref, dxp_ref, dv_ref):
+    """Pass 3: dV = X^T dXp. Separate from pass 2 because dXp is the
+    encoder VJP of pass 2's dq -- a true sequential dependency."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+    x = _unpack_x(u_ref[0])
+    dv_ref[:] += jax.lax.dot_general(
+        x, dxp_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 # --------------------------- pallas call wrappers --------------------------
@@ -213,51 +225,54 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb):
     return out[0, 0]
 
 
-def _dq_call(qs, Ps, u32, cm2, rw2, tb):
+def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb):
     ks = [q.shape[1] for q in qs]
     B = u32.shape[1]
     m_pad = cm2.shape[1]
-    return pl.pallas_call(
-        _dq_kernel(len(ks)),
-        grid=(B // tb, m_pad // TM),
-        in_specs=(_q_specs(ks, tb) + _p_specs(ks) + _common_specs(tb)),
-        out_specs=[pl.BlockSpec((tb, k), lambda i, j: (i, 0),
-                                memory_space=pltpu.VMEM) for k in ks],
-        out_shape=[jax.ShapeDtypeStruct((B, k), jnp.float32) for k in ks],
-        cost_estimate=pl.CostEstimate(
-            flops=B * m_pad * 4 * sum(ks), bytes_accessed=B * m_pad // 4,
-            transcendentals=0),
-        interpret=_interpret(),
-    )(*qs, *Ps, u32, cm2, rw2)
-
-
-def _dp_dv_call(qs, Ps, u32, cm2, rw2, dXp, g, tb):
-    ks = [q.shape[1] for q in qs]
-    B = u32.shape[1]
-    m_pad = cm2.shape[1]
-    D = dXp.shape[1]
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
     outs = pl.pallas_call(
-        _dp_dv_kernel(len(ks)),
+        _dq_dp_kernel(len(ks)),
         grid=(m_pad // TM, B // tb),
         in_specs=(_q_specs(ks, tb, "mb") + _p_specs(ks, "mb")
                   + _common_specs(tb, "mb")
-                  + [pl.BlockSpec((tb, D), lambda j, i: (i, 0),
-                                  memory_space=pltpu.VMEM),
-                     pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                  + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)]),
-        out_specs=([pl.BlockSpec((k, TM), lambda j, i: (0, j),
+        out_specs=([pl.BlockSpec((B, k), lambda j, i: (0, 0),
                                  memory_space=pltpu.VMEM) for k in ks]
-                   + [pl.BlockSpec((TM, D), lambda j, i: (j, 0),
-                                   memory_space=pltpu.VMEM)]),
-        out_shape=([jax.ShapeDtypeStruct((k, m_pad), jnp.float32) for k in ks]
-                   + [jax.ShapeDtypeStruct((m_pad, D), jnp.float32)]),
+                   + [pl.BlockSpec((k, TM), lambda j, i: (0, j),
+                                   memory_space=pltpu.VMEM) for k in ks]),
+        out_shape=([jax.ShapeDtypeStruct((B, k), jnp.float32) for k in ks]
+                   + [jax.ShapeDtypeStruct((k, m_pad), jnp.float32)
+                      for k in ks]),
         cost_estimate=pl.CostEstimate(
-            flops=B * m_pad * (4 * sum(ks) + 2 * D),
-            bytes_accessed=B * m_pad // 4, transcendentals=0),
+            flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
+            transcendentals=0),
         interpret=_interpret(),
-    )(*qs, *Ps, u32, cm2, rw2, dXp, g2)
-    return outs[:-1], outs[-1]
+    )(*qs, *Ps, u32, cm2, rw2, g2)
+    return outs[:len(ks)], outs[len(ks):]
+
+
+def _dv_call(u32, dXp, tb):
+    B = u32.shape[1]
+    m_pad = u32.shape[0] * TM
+    D = dXp.shape[1]
+    return pl.pallas_call(
+        _dv_kernel,
+        grid=(m_pad // TM, B // tb),
+        in_specs=[
+            pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, D), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, D), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(u32, dXp)
 
 
 # ------------------------------ the op --------------------------------------
@@ -303,7 +318,8 @@ def make_fused_training_loss(head_keys: List[str],
         q_list = [qs[hk] for hk in head_keys]
         p_list = [Ps[hk] for hk in head_keys]
 
-        dq_list = _dq_call(q_list, p_list, u32, cm2, rw2, tb)
+        dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
+                                       g_loss, tb)
         dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
                for i, hk in enumerate(head_keys)}
         denc, dXp = enc_vjp(dqs)
@@ -312,8 +328,7 @@ def make_fused_training_loss(head_keys: List[str],
             # shards that consumed the replicated psum result.
             dXp = jax.lax.psum(dXp, snp_axis)
 
-        dp_list, dV = _dp_dv_call(q_list, p_list, u32, cm2, rw2, dXp,
-                                  g_loss, tb)
+        dV = _dv_call(u32, dXp, tb)
         dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
         return (dV, denc, dPs, None, None, None)
 

@@ -67,16 +67,22 @@ def test_loss_and_grad_kernels_match_reference():
     l_fus = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb)
     np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=2e-5)
 
-    (dq_fus,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_fus,), (dp_fus,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2,
+                                          jnp.float32(1.0), tb)
     np.testing.assert_allclose(np.asarray(dq_fus), np.asarray(dq_ref),
                                rtol=2e-4, atol=2e-3)
-
-    dXp = jnp.zeros((Q.shape[0], 4), jnp.float32)
-    (dp_fus,), _ = fs._dp_dv_call([Q], [Pp], tiles, cm2, rw2, dXp,
-                                  jnp.float32(1.0), tb)
     inv = jnp.asarray(pk.inverse_perm(perm))
     np.testing.assert_allclose(np.asarray(dp_fus[:, inv]),
                                np.asarray(dp_ref), rtol=2e-4, atol=2e-3)
+
+    # The g scale factors into dp inside the merged kernel (dq is scaled
+    # outside, after the encoder VJP mixes in the qs cotangent).
+    (dq_g,), (dp_g,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2,
+                                      jnp.float32(2.5), tb)
+    np.testing.assert_allclose(np.asarray(dq_g), np.asarray(dq_fus),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_g), 2.5 * np.asarray(dp_fus),
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_xv_and_dv_kernels_match_reference():
@@ -93,13 +99,7 @@ def test_xv_and_dv_kernels_match_reference():
     np.testing.assert_allclose(np.asarray(xv_fus), np.asarray(x @ V),
                                rtol=1e-5, atol=1e-5)
 
-    K = 3
-    Q = jnp.asarray(rng.dirichlet(np.ones(K), size=B).astype(np.float32))
-    Pp = jnp.asarray(rng.uniform(0.2, 0.8, (K, m_pad)).astype(np.float32))
-    cm2 = jnp.ones((1, m_pad), jnp.float32)
-    rw2 = jnp.ones((B, 1), jnp.float32)
-    _, dv_fus = fs._dp_dv_call([Q], [Pp], tiles, cm2, rw2, dXp,
-                               jnp.float32(1.0), tb)
+    dv_fus = fs._dv_call(tiles, dXp, tb)
     inv = jnp.asarray(pk.inverse_perm(perm))
     np.testing.assert_allclose(np.asarray(dv_fus[inv, :]),
                                np.asarray(x.T @ dXp), rtol=1e-4, atol=1e-4)
@@ -123,11 +123,15 @@ def test_multihead_kernels_share_passes():
     np.testing.assert_allclose(float(l_multi), float(l_a) + float(l_b),
                                rtol=1e-6)
 
-    dq_a, dq_b = fs._dq_call([Q, Q2], [Pp, P2p], tiles, cm2, rw2, tb)
-    (dq_a1,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
-    (dq_b1,) = fs._dq_call([Q2], [P2p], tiles, cm2, rw2, tb)
+    one = jnp.float32(1.0)
+    (dq_a, dq_b), (dp_a, dp_b) = fs._dq_dp_call([Q, Q2], [Pp, P2p], tiles,
+                                                cm2, rw2, one, tb)
+    (dq_a1,), (dp_a1,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
+    (dq_b1,), (dp_b1,) = fs._dq_dp_call([Q2], [P2p], tiles, cm2, rw2, one, tb)
     np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_a1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(dq_b), np.asarray(dq_b1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_a1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_b), np.asarray(dp_b1), rtol=1e-6)
 
 
 def test_fast_recip_backward_matches_exact(monkeypatch):
@@ -140,10 +144,11 @@ def test_fast_recip_backward_matches_exact(monkeypatch):
     cm2, rw2 = cmp_.reshape(1, -1), rw.reshape(-1, 1)
     tb = pick_tb(Q.shape[0])
 
+    one = jnp.float32(1.0)
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "1")
-    (dq_e,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_e,), _ = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "0")
-    (dq_a,) = fs._dq_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_a,), _ = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
 
     np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_e),
                                rtol=5e-3, atol=5e-2)

@@ -79,12 +79,12 @@ timeit("pass1 xv (unpack + X@V)", xv, tiles, V)
 loss = jax.jit(lambda q, p, u: fs._loss_call([q], [p], u, cm2, rw2, tb))
 timeit("passL loss fwd", loss, Q, P, tiles)
 
-dq = jax.jit(lambda q, p, u: fs._dq_call([q], [p], u, cm2, rw2, tb))
-timeit("pass2 dq", dq, Q, P, tiles)
+dqdp = jax.jit(lambda q, p, u, g: fs._dq_dp_call(
+    [q], [p], u, cm2, rw2, g, tb))
+timeit("pass2 dq+dp (merged)", dqdp, Q, P, tiles, jnp.float32(1.0))
 
-dpdv = jax.jit(lambda q, p, u, g: fs._dp_dv_call(
-    [q], [p], u, cm2, rw2, dxp, g, tb))
-timeit("pass3 dp+dv", dpdv, Q, P, tiles, jnp.float32(1.0))
+dv = jax.jit(lambda u, dx: fs._dv_call(u, dx, tb))
+timeit("pass3 dv", dv, tiles, dxp)
 
 # the full production op (fwd + custom-VJP backward)
 op = fs.make_fused_training_loss([f"k{K}"])
