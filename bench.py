@@ -58,6 +58,7 @@ def bench_jax():
     use_pallas = (jax.default_backend() in ("tpu", "axon")
                   if pallas_env is None else pallas_env == "1")
 
+    blk = int(os.environ.get("NA_BENCH_BLOCK", 16))
     packed, m_pad = make_synthetic_packed(N, M, K)
     rng = np.random.default_rng(1)
     V = rng.normal(size=(D, M)).astype(np.float32) * 0.01
@@ -80,12 +81,26 @@ def bench_jax():
         col_mask = jax.numpy.asarray(col_mask_np)
     pops = jax.numpy.zeros((N,), jax.numpy.int32)
 
+    # Block-granular sampling (the production default) needs the resident
+    # rows padded to whole batches of whole blocks.
+    n_rows = None
+    if blk > 1:
+        from neural_admixture_tpu.train.engine import block_geometry
+        _, _, n_rows = block_geometry(N, B, use_pallas, None, blk)
+        if n_rows != N:
+            pad = np.zeros((n_rows - N,) + packed_dev.shape[1:],
+                           np.asarray(packed_dev).dtype)
+            packed_dev = jax.numpy.concatenate(
+                [packed_dev, jax.device_put(pad)],
+                axis=1 if packed_dev.ndim == 3 else 0)
+
     # Measure the production-dominant path: the loss-free epoch (the loss
     # forward is only computed on logging epochs).
     epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
                              supervised_loss_weight=0.0,
                              use_pallas=use_pallas, compute_loss=False,
-                             params_template=params)
+                             params_template=params, sample_block=blk,
+                             n_rows=n_rows)
     key = jax.random.PRNGKey(42)
 
     # NOTE: sync via a scalar value fetch from the updated params --

@@ -103,6 +103,12 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "data-parallel, moving devices to the snp axis "
                         "automatically when per-chip SNP-plane state would "
                         "exceed the HBM budget.")
+    parser.add_argument("--sample_block", required=False, default=16,
+                        type=int, help="Batch sampling granularity: draw "
+                        "random runs of this many consecutive (pre-shuffled) "
+                        "samples instead of single rows. Larger blocks make "
+                        "the per-step batch gather read bigger contiguous "
+                        "spans of HBM; 1 = classic per-row shuffling.")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",

@@ -126,6 +126,75 @@ def flip_packed_minor_allele(packed: np.ndarray) -> np.ndarray:
     return (b ^ ((~b & 0x55) << 1)).astype(np.uint8)
 
 
+# Direct 2-bit dosage-code counts per packed byte (the packed layout stores
+# dosages 0..3 directly, unlike BED's remapped codes).
+_PACKED_CODE_CNT = np.zeros((256, 4), dtype=np.int64)
+for _b in range(256):
+    for _j in range(4):
+        _PACKED_CODE_CNT[_b, (_b >> (2 * _j)) & 3] += 1
+
+
+def packed_code_counts(packed: np.ndarray, M: int) -> np.ndarray:
+    """Dosage-code histogram {0,1,2,3} of 2-bit packed rows, excluding the
+    zero padding columns beyond M. O(256) extra memory."""
+    packed = np.asarray(packed)
+    hist = np.bincount(packed.ravel(), minlength=256).astype(np.int64)
+    counts = hist @ _PACKED_CODE_CNT
+    counts[0] -= packed.shape[0] * (packed.shape[1] * 4 - M)
+    return counts
+
+
+def rezero_flip_padding(packed: np.ndarray, M: int) -> np.ndarray:
+    """Re-zero the padding columns beyond M that a minor-allele flip turned
+    into dosage 2 (in place; also returns ``packed``)."""
+    m_pad = packed.shape[1] * 4
+    if m_pad != M:
+        from .packed import unpack_2bit_rows, pack_2bit_rows
+        w_last = M // 4  # whole bytes before the partial/padding region
+        tail = unpack_2bit_rows(packed[:, w_last:], m_pad - w_last * 4)
+        tail[:, M - w_last * 4:] = 0
+        packed[:, w_last:] = pack_2bit_rows(tail)
+    return packed
+
+
+def read_bed_packed_rows(file: str, start: int, end: int,
+                         lane_multiple: int = 2048
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode only sample rows [start, end) into the packed layout.
+
+    The multi-host input path (parallel.distributed.host_sample_shard):
+    each process decodes and holds just its block; the .bed bytes are
+    memmapped so only the pages covering the requested samples are read.
+    No validation or minor-allele flip is applied -- both need global code
+    counts, so this returns (packed_rows, local_code_counts) and the caller
+    combines counts across hosts (allsum_hosts) before flipping
+    (flip_packed_minor_allele + rezero_flip_padding).
+    """
+    file_path = Path(file)
+    N, M = read_bed_dims(file)
+    assert 0 <= start <= end <= N, (start, end, N)
+    b0, b1 = start // 4, ceil(end / 4)
+    mm = np.memmap(file_path.with_suffix(".bed"), dtype=np.uint8, mode="r",
+                   offset=3, shape=(M, ceil(N / 4)))
+    B = np.ascontiguousarray(mm[:, b0:b1])
+    del mm
+    n_slice = min(4 * b1, N) - 4 * b0  # decoded samples in the byte slice
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    try:
+        from ..native import bed_native
+        native_ok = bed_native.available()
+    except ImportError:
+        native_ok = False
+    if native_ok:
+        packed = bed_native.bed_to_packed(B, n_slice, m_pad)
+    else:
+        from .packed import pack_2bit_rows
+        packed = pack_2bit_rows(decode_bed_numpy(B, n_slice), m_pad=m_pad)
+    del B
+    packed = np.ascontiguousarray(packed[start - 4 * b0:end - 4 * b0])
+    return packed, packed_code_counts(packed, M)
+
+
 def read_bed_packed(file: str, lane_multiple: int = 2048
                     ) -> Tuple[np.ndarray, int, int]:
     """Read a BED fileset straight into the sample-major 2-bit packed layout
@@ -158,12 +227,5 @@ def read_bed_packed(file: str, lane_multiple: int = 2048
     del B
 
     if mean >= 1:
-        packed = flip_packed_minor_allele(packed)
-        # re-zero the padding columns the flip turned into dosage 2
-        if m_pad != M:
-            from .packed import unpack_2bit_rows, pack_2bit_rows
-            w_last = M // 4  # whole bytes before the partial/padding region
-            tail = unpack_2bit_rows(packed[:, w_last:], m_pad - w_last * 4)
-            tail[:, M - w_last * 4:] = 0
-            packed[:, w_last:] = pack_2bit_rows(tail)
+        packed = rezero_flip_padding(flip_packed_minor_allele(packed), M)
     return packed, N, M

@@ -151,8 +151,7 @@ def read_pgen_packed(path: str, lane_multiple: int = 2048
     flip in the packed domain, (packed (N, m_pad//4) uint8, N, M) out. Peak
     extra memory is one variant block, not the (N, M) matrix.
     """
-    from .bed import flip_packed_minor_allele
-    from .packed import pack_2bit_rows, unpack_2bit_rows
+    from .bed import flip_packed_minor_allele, rezero_flip_padding
 
     reader = open_pgen(path)
     N, M = reader.N, reader.M
@@ -177,12 +176,7 @@ def read_pgen_packed(path: str, lane_multiple: int = 2048
         "sites have been removed.")
     mean = float((counts * np.arange(4)).sum()) / max(1, int(counts.sum()))
     if mean >= 1:
-        packed = flip_packed_minor_allele(packed)
-        if m_pad != M:  # re-zero padding columns the flip turned into 2s
-            w_last = M // 4
-            tail = unpack_2bit_rows(packed[:, w_last:], m_pad - w_last * 4)
-            tail[:, M - w_last * 4:] = 0
-            packed[:, w_last:] = pack_2bit_rows(tail)
+        packed = rezero_flip_padding(flip_packed_minor_allele(packed), M)
     return packed, N, M
 
 

@@ -14,7 +14,7 @@ Note the reference feeds *raw* genotype codes (missing = 3 included) into the
 SVD; we reproduce that.
 """
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,15 +76,28 @@ def _mul_Qt_A(Qt: jnp.ndarray, packed: jnp.ndarray, block_rows: int):
 
 def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
          oversampling: int = 10, power_iterations: int = 2,
-         block_rows: int = 4096) -> np.ndarray:
+         block_rows: int = 4096, rows: Optional[Tuple[int, int]] = None
+         ) -> np.ndarray:
     """Randomized SVD of the packed genotype matrix. Returns Vt_k (k, M) f32.
 
-    ``packed``: (N, W) uint8, 2-bit packed, sample-major (padding columns are
+    ``packed``: (n, W) uint8, 2-bit packed, sample-major (padding columns are
     genotype 0 and therefore contribute nothing to the factorization).
+
+    ``rows``: multi-host mode -- ``packed`` holds only this process's sample
+    rows [start, end) of the global N. The row-parallel GEMMs run on local
+    rows; the tiny (N, k') sketch is all-gathered and the (k', M) partial
+    products summed across hosts, so every process computes an identical V
+    (same LAPACK calls on identical inputs) with no broadcast step.
     """
-    packed = jnp.asarray(packed)
-    n_pad = ((N + block_rows - 1) // block_rows) * block_rows
+    from ..parallel.distributed import allsum_hosts, gather_ragged_rows
+
+    start, end = rows if rows is not None else (0, N)
+    n_local = end - start
+    assert packed.shape[0] >= n_local, (packed.shape, rows)
+    packed = jnp.asarray(packed[:n_local])
+    n_pad = ((n_local + block_rows - 1) // block_rows) * block_rows
     packed = _pad_rows(packed, n_pad)
+    distributed = rows is not None
 
     k_prime = max(k + oversampling, 20)
     # Same host RNG stream as the reference's Omega (svd.py:44-49).
@@ -97,20 +110,29 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     # (N x k') QR and (k' x M) SVD run on the host (LAPACK) -- they are
     # negligible FLOPs, and keeping them off-device avoids per-dataset-shape
     # XLA compiles of QR/SVD (expensive on remote/tunneled backends).
-    Y = np.asarray(_mul_A_omega(packed, Omega, block_rows))[:N]
+    def A_omega(Om):
+        """Global Y = A @ Om (N, k'), identical on every host."""
+        Y_local = np.asarray(_mul_A_omega(packed, Om, block_rows))[:n_local]
+        if not distributed:
+            return Y_local
+        return gather_ragged_rows(Y_local)
+
+    def Qt_A(Q_full):
+        """Global B = Q^T A (k', m_pad), identical on every host."""
+        Q_local = Q_full[start:end]
+        Qt = jnp.asarray(np.ascontiguousarray(
+            np.pad(Q_local, ((0, n_pad - n_local), (0, 0))).T))
+        B_part = np.asarray(_mul_Qt_A(Qt, packed, block_rows))
+        return allsum_hosts(B_part) if distributed else B_part
+
+    Y = A_omega(Omega)
     for _ in range(power_iterations):
         Q_y, _ = np.linalg.qr(Y, mode="reduced")
-        Qt = jnp.asarray(np.ascontiguousarray(
-            np.pad(Q_y, ((0, n_pad - N), (0, 0))).T))
-        B_tmp = np.asarray(_mul_Qt_A(Qt, packed, block_rows))   # (k', m_pad)
-        Y = np.asarray(_mul_A_omega(
-            packed, jnp.asarray(np.ascontiguousarray(B_tmp.T)),
-            block_rows))[:N]
+        B_tmp = Qt_A(Q_y)                                       # (k', m_pad)
+        Y = A_omega(jnp.asarray(np.ascontiguousarray(B_tmp.T)))
 
     Q, _ = np.linalg.qr(Y, mode="reduced")
-    Qt = jnp.asarray(np.ascontiguousarray(
-        np.pad(Q, ((0, n_pad - N), (0, 0))).T))
-    B = np.asarray(_mul_Qt_A(Qt, packed, block_rows))           # (k', m_pad)
+    B = Qt_A(Q)                                                 # (k', m_pad)
     Ut, _St, Vt = np.linalg.svd(B[:, :M], full_matrices=False)
     Vt = np.asarray(svd_flip(jnp.asarray(Vt), jnp.asarray(Ut)))
     return Vt[:k, :].astype(np.float32)

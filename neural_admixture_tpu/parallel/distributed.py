@@ -5,8 +5,10 @@ chips; there is no mp.spawn / NCCL rendezvous as in the reference
 (/root/reference/neural_admixture/entry.py:188-193,
 /root/reference/neural_admixture/src/utils.py:69-95). This module wires
 ``jax.distributed.initialize`` (env-driven on TPU pods; explicit
-coordinator for manual bring-up) and computes each host's sample shard so
-the input pipeline reads only local rows.
+coordinator for manual bring-up) and computes each host's sample-row block
+so the input pipeline reads only local rows; the engine assembles the
+global resident genotype array from the per-process blocks
+(jax.make_array_from_process_local_data).
 
 Single-host runs are unaffected: ``maybe_initialize_distributed`` is a no-op
 unless a multi-process environment is detected or requested.
@@ -15,6 +17,7 @@ import os
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 
 from ..utils.logger import log, setup_logging
 
@@ -34,37 +37,117 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     auto_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES", "")) and \
         "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
-    if jax.process_count() > 1:
-        return True
+    # NOTE: jax.process_count()/device queries would initialize the backend
+    # and preempt jax.distributed.initialize -- keep them after it.
     if env_coord and env_nproc > 1:
         pid = process_id if process_id is not None else \
             int(os.environ.get("NA_TPU_PROCESS_ID", "0"))
-        jax.distributed.initialize(coordinator_address=env_coord,
-                                   num_processes=env_nproc, process_id=pid)
+        if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+            # The CPU backend has no cross-process collectives by default;
+            # gloo gives working psum/all_gather between host processes
+            # (used by the 2-process CPU integration test).
+            try:
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:
+                pass
+        try:
+            jax.distributed.initialize(coordinator_address=env_coord,
+                                       num_processes=env_nproc,
+                                       process_id=pid)
+        except RuntimeError:
+            pass  # already initialized (repeated call)
         log.info(f"    Distributed: process {pid}/{env_nproc} via {env_coord}")
         return True
     if auto_tpu_pod:
         # TPU pod slice: args are discovered from the TPU environment.
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass
         log.info(f"    Distributed: process {jax.process_index()}"
                  f"/{jax.process_count()} (TPU pod auto-config)")
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def is_master() -> bool:
     return jax.process_index() == 0
 
 
-def host_sample_shard(N: int) -> Tuple[int, int]:
-    """[start, end) of this host's sample rows for the data-parallel axis.
+def shutdown_distributed() -> None:
+    """Tear down the jax.distributed runtime if it is active (the multi-host
+    analogue of the reference's process-group teardown on failure,
+    /root/reference/neural_admixture/src/main.py:119-133). No-op otherwise."""
+    if jax.process_count() > 1:
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
 
-    Rows are split contiguously and as evenly as possible across processes;
-    each host's input pipeline should read only this slice (the reference
-    instead loads the full matrix into every process's shared memory,
-    entry.py:186 -- untenable at biobank scale).
+
+def host_sample_shard(N: int, data_axis_size: Optional[int] = None
+                      ) -> Tuple[int, int, int]:
+    """This host's sample-row block: (start, end, rows_per_process).
+
+    Rows [start, end) of the dataset belong to this process; its resident
+    block must be zero-padded to ``rows_per_process`` rows (the global
+    padded sample count divided evenly over processes). The split is aligned
+    with the device order of the (data, snp) mesh, so the engine can hand
+    each process block to jax.make_array_from_process_local_data unchanged.
+
+    ``data_axis_size``: the mesh's data-axis extent (defaults to all
+    devices, the auto-mesh case). The reference instead loads the full
+    matrix into every process's shared memory (entry.py:186) -- untenable
+    at biobank scale.
     """
-    p, n = jax.process_index(), jax.process_count()
-    base, rem = divmod(N, n)
-    start = p * base + min(p, rem)
-    return start, start + base + (1 if p < rem else 0)
+    p, n_proc = jax.process_index(), jax.process_count()
+    d_sz = data_axis_size or jax.device_count()
+    assert d_sz % n_proc == 0, (
+        f"data axis ({d_sz}) must spread evenly over {n_proc} processes")
+    quantum = np.lcm(d_sz, n_proc)
+    n_pad = ((N + quantum - 1) // quantum) * quantum
+    rows_pp = n_pad // n_proc
+    start = p * rows_pp
+    return start, min(start + rows_pp, N), rows_pp
+
+
+def allsum_hosts(x: np.ndarray) -> np.ndarray:
+    """Elementwise sum of a host numpy array over all processes."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x))
+                      .sum(axis=0))
+
+
+def gather_ragged_rows(local: np.ndarray) -> np.ndarray:
+    """Concatenate per-process row blocks (possibly unequal row counts) in
+    process order into one global array on every host."""
+    local = np.asarray(local)
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+    counts = multihost_utils.process_allgather(
+        np.asarray([local.shape[0]], np.int64)).ravel()
+    pad_to = int(counts.max())
+    padded = np.zeros((pad_to,) + local.shape[1:], local.dtype)
+    padded[:local.shape[0]] = local
+    parts = multihost_utils.process_allgather(padded)
+    return np.concatenate([parts[p, :counts[p]]
+                           for p in range(len(counts))], axis=0)
+
+
+def to_host(x) -> np.ndarray:
+    """Device array -> full host numpy, on every process.
+
+    np.asarray works only on fully-addressable (or fully replicated)
+    arrays; across processes a genuinely sharded global array must be
+    all-gathered first."""
+    if (jax.process_count() == 1
+            or getattr(x, "is_fully_addressable", True)
+            or getattr(getattr(x, "sharding", None),
+                       "is_fully_replicated", False)):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

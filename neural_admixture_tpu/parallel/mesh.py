@@ -55,10 +55,22 @@ def param_specs(params: Dict) -> Dict:
     return specs
 
 
+def global_put(x, sharding: NamedSharding):
+    """device_put that also works when ``sharding`` spans multiple processes
+    (jax.device_put requires every target device to be addressable). The
+    host value ``x`` must be the FULL global array, identical on every
+    process; each process materializes only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def shard_params(params: Dict, mesh: Mesh) -> Dict:
     specs = param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: global_put(x, NamedSharding(mesh, s)),
         params, specs,
         is_leaf=lambda x: not isinstance(x, dict))
 

@@ -43,5 +43,8 @@ def chunked_forward(fwd: Callable, data, N: int, batch: int,
                 [blk, jnp.zeros(pad_shape, blk.dtype)], axis=sample_axis)
         qs = fwd(blk)
         for hk, q in qs.items():
-            chunks.setdefault(hk, []).append(np.asarray(q[:n_real]))
+            # to_host: in a multi-process run the per-chunk q is sharded
+            # over the data axis across hosts; all-gather it (tiny (B, k)).
+            from ..parallel.distributed import to_host
+            chunks.setdefault(hk, []).append(to_host(q)[:n_real])
     return {hk: np.concatenate(parts, axis=0) for hk, parts in chunks.items()}

@@ -60,6 +60,15 @@ class TrainConfig:
     log_every: int = 5
     progress: bool = True
     use_pallas: Optional[bool] = None  # None = auto (on for TPU backends)
+    # Sampling granularity: batches draw random RUNS of `sample_block`
+    # consecutive resident rows instead of single rows. 1 = classic per-row
+    # shuffling. >1 turns the batch gather's 512-byte random reads into
+    # `sample_block`x larger contiguous reads (the gather is ~30% of step
+    # time at 1M SNPs); the resident rows are pre-shuffled once at load so
+    # blocks are random population mixtures. Epoch semantics stay
+    # every-sample-exactly-once. LL impact measured in
+    # tools/convergence_bench.py (NA_CONV_BLOCK).
+    sample_block: int = 1
     # Device mesh (n_data, n_snp): None = auto (all devices data-parallel
     # when more than one device is visible; single-device path otherwise).
     mesh_shape: Optional[Tuple[int, int]] = None
@@ -112,9 +121,36 @@ def _loss_fn(params, batch, row_weight, col_mask, pops_batch,
     return loss
 
 
+def batch_align(use_pallas: bool, mesh) -> int:
+    """Row alignment required of each padded batch: Pallas sublanes (8) x
+    the data-axis extent (even device split)."""
+    align = 8 if use_pallas else 1
+    if mesh is not None:
+        align = align * mesh.shape[DATA_AXIS] if use_pallas \
+            else mesh.shape[DATA_AXIS]
+    return align
+
+
+def block_geometry(N: int, batch_size: int, use_pallas: bool, mesh,
+                   blk: int) -> Tuple[int, int, int]:
+    """(b_round, nb, resident_rows) for block sampling (blk > 1).
+
+    Every batch is b_round rows = whole blocks; resident rows are padded to
+    EXACTLY nb * b_round so an epoch runs the same ceil(N / b_round) steps
+    as row sampling would (extra all-padding steps are not harmless: Adam
+    moments decay on zero-grad steps). b_round is a multiple of
+    d_sz * blk, so blocks never straddle devices."""
+    d_sz = mesh.shape[DATA_AXIS] if mesh is not None else 1
+    q = int(np.lcm(batch_align(use_pallas, mesh), d_sz * blk))
+    b_round = ((min(batch_size, N) + q - 1) // q) * q
+    nb = (N + b_round - 1) // b_round
+    return b_round, nb, nb * b_round
+
+
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   supervised_loss_weight: float, use_pallas: bool = False,
-                  mesh=None, params_template=None, compute_loss: bool = True):
+                  mesh=None, params_template=None, compute_loss: bool = True,
+                  sample_block: int = 1, n_rows: Optional[int] = None):
     """Build the jitted one-epoch function (scan over shuffled batches).
 
     With ``mesh`` set, the loss/grad of each step runs under shard_map on the
@@ -132,13 +168,19 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     keeping the returned loss live (e.g. for NaN checks) would silently
     forfeit the saving.
     """
-    nb = (N + batch_size - 1) // batch_size
-    pad = nb * batch_size - N
-    align = 8 if use_pallas else 1
-    if mesh is not None:
-        align = max(align, 1) * mesh.shape[DATA_AXIS] if use_pallas \
-            else mesh.shape[DATA_AXIS]
-    b_round = ((batch_size + align - 1) // align) * align
+    blk = max(1, sample_block)
+    if blk > 1:
+        # Block sampling: batches are whole blocks of `blk` consecutive
+        # resident rows; the epoch is a permutation of all n_rows // blk
+        # blocks (padding rows ride along with zero weight).
+        b_round, nb, want_rows = block_geometry(N, batch_size, use_pallas,
+                                                mesh, blk)
+        assert n_rows == want_rows, (n_rows, want_rows)
+    else:
+        align = batch_align(use_pallas, mesh)
+        nb = (N + batch_size - 1) // batch_size
+        pad = nb * batch_size - N
+        b_round = ((batch_size + align - 1) // align) * align
 
     if mesh is None:
         fused_op = None
@@ -167,23 +209,47 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, packed, col_mask, pops, key):
-        perm = jax.random.permutation(key, N)
-        if pad:
-            perm = jnp.concatenate(
-                [perm, jnp.full((pad,), N, dtype=perm.dtype)])
-        idx = perm.reshape(nb, batch_size)
-        if b_round != batch_size:
-            idx = jnp.concatenate(
-                [idx, jnp.full((nb, b_round - batch_size), N, idx.dtype)],
-                axis=1)
+        if blk > 1:
+            nblk = n_rows // blk
+            idx = jax.random.permutation(key, nblk).reshape(nb,
+                                                            b_round // blk)
+        else:
+            perm = jax.random.permutation(key, N)
+            if pad:
+                perm = jnp.concatenate(
+                    [perm, jnp.full((pad,), N, dtype=perm.dtype)])
+            idx = perm.reshape(nb, batch_size)
+            if b_round != batch_size:
+                idx = jnp.concatenate(
+                    [idx, jnp.full((nb, b_round - batch_size), N, idx.dtype)],
+                    axis=1)
 
         def step(carry, idx_b):
             params, opt_state = carry
-            row_weight = (idx_b < N).astype(jnp.float32)
-            safe = jnp.minimum(idx_b, N - 1)
-            # sample axis: 0 in row-major (B, W) layout, 1 in tile-major
-            xb = jnp.take(packed, safe, axis=1 if packed.ndim == 3 else 0)
-            pops_b = jnp.take(pops, safe, axis=0)
+            if blk > 1:
+                # Gather at block granularity (one read = blk contiguous
+                # rows); reshapes on the resident array are free views.
+                nblk_ = n_rows // blk
+                row_idx = (idx_b[:, None] * blk
+                           + jnp.arange(blk, dtype=idx_b.dtype)).reshape(-1)
+                row_weight = (row_idx < N).astype(jnp.float32)
+                safe = jnp.minimum(row_idx, N - 1)
+                if packed.ndim == 3:
+                    pv = packed.reshape(packed.shape[0], nblk_,
+                                        blk * packed.shape[2])
+                    xb = jnp.take(pv, idx_b, axis=1).reshape(
+                        packed.shape[0], b_round, packed.shape[2])
+                else:
+                    pv = packed.reshape(nblk_, blk * packed.shape[1])
+                    xb = jnp.take(pv, idx_b, axis=0).reshape(
+                        b_round, packed.shape[1])
+                pops_b = jnp.take(pops, safe, axis=0)
+            else:
+                row_weight = (idx_b < N).astype(jnp.float32)
+                safe = jnp.minimum(idx_b, N - 1)
+                # sample axis: 0 in row-major (B, W), 1 in tile-major
+                xb = jnp.take(packed, safe, axis=1 if packed.ndim == 3 else 0)
+                pops_b = jnp.take(pops, safe, axis=0)
             if batch_sharding is not None:
                 xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
                 row_weight = jax.lax.with_sharding_constraint(
@@ -226,16 +292,21 @@ class NeuralAdmixtureTrainer:
         self.ks = sorted(cfg.ks)
 
     def launch_training(self, P_init: np.ndarray, packed, V: np.ndarray,
-                        M: int, N: int, pops: Optional[np.ndarray] = None
+                        M: int, N: int, pops: Optional[np.ndarray] = None,
+                        host_rows: Optional[Tuple[int, int]] = None
                         ) -> Tuple[List[np.ndarray], List[np.ndarray], Dict]:
         """Train and return (Qs, Ps, params). Ps and params are in the
         original SNP order regardless of the internal device layout.
 
         Args:
           P_init: (sum(ks), M) initial P rows (ascending K groups).
-          packed: (N, W) uint8 2-bit packed genotypes (host numpy).
+          packed: (N, W) uint8 2-bit packed genotypes (host numpy). In a
+            multi-process run, only this process's sample rows
+            [host_rows[0], host_rows[1]) -- see parallel.distributed.
           V: (D, M) RSVD projection (transposed to (M, D) trainable param).
-          pops: optional (N,) int labels enabling supervised mode.
+          pops: optional GLOBAL (N,) int labels enabling supervised mode.
+          host_rows: this process's sample-row block in a multi-process run
+            (from host_sample_shard(N, data_axis_size)); None single-process.
         """
         cfg = self.cfg
         use_pallas = _use_pallas(cfg)
@@ -246,6 +317,7 @@ class NeuralAdmixtureTrainer:
         mesh = self._pick_mesh(m_pad, use_pallas)
         self._mesh_shape = (tuple(int(s) for s in mesh.devices.shape)
                             if mesh is not None else (1, 1))
+        n_proc = jax.process_count()
 
         self._perm = None
         if use_pallas:
@@ -259,23 +331,85 @@ class NeuralAdmixtureTrainer:
         else:
             data_host = packed_np
 
-        if mesh is not None:
+        blk = max(1, cfg.sample_block)
+        self._row_order = None
+        if blk > 1 and n_proc > 1:
+            # The resident pre-shuffle would have to span host row blocks;
+            # fall back to per-row sampling until that is implemented.
+            if self.master:
+                log.info("    sample_block > 1 is single-process only; "
+                         "falling back to per-row sampling.")
+            blk = 1
+        if blk > 1:
+            # One-time host pre-shuffle: with block-granular sampling,
+            # contiguous resident rows form the sampling unit; shuffling
+            # once makes every block a random population mixture regardless
+            # of the input file's sample ordering (BED files are often
+            # family/population-sorted).
+            self._row_order = np.random.default_rng(cfg.seed).permutation(N)
+            data_host = np.ascontiguousarray(data_host[self._row_order])
+
+        if n_proc > 1:
+            # Multi-process: ``data_host`` is this process's row block; pad
+            # it to the even per-process extent and assemble the global
+            # resident array from the per-process blocks below.
+            from ..parallel.distributed import host_sample_shard
+            assert mesh is not None, \
+                "multi-process execution requires a device mesh"
+            assert jax.local_device_count() % mesh.shape[SNP_AXIS] == 0, (
+                "each process must own whole (data) rows of the mesh: "
+                f"local devices {jax.local_device_count()} not divisible by "
+                f"snp axis {mesh.shape[SNP_AXIS]}")
+            start, end, rows_pp = host_sample_shard(N, mesh.shape[DATA_AXIS])
+            assert host_rows == (start, end), (
+                f"launch_training got rows {host_rows} but this process owns "
+                f"[{start}, {end}) -- read the data with host_sample_shard")
+            n_local = end - start
+            assert data_host.shape[0] >= n_local, (data_host.shape, n_local)
+            data_host = data_host[:n_local]
+            if rows_pp != n_local:
+                data_host = np.concatenate(
+                    [data_host, np.zeros(
+                        (rows_pp - n_local, data_host.shape[1]),
+                        data_host.dtype)], axis=0)
+            n_rows_global = rows_pp * n_proc
+        elif blk > 1:
+            # Rows must tile exactly into nb whole batches of whole blocks
+            # (see block_geometry).
+            _, _, target = block_geometry(N, cfg.batch_size, use_pallas,
+                                          mesh, blk)
+            if target != N:
+                data_host = np.concatenate(
+                    [data_host, np.zeros((target - N, data_host.shape[1]),
+                                         data_host.dtype)], axis=0)
+            n_rows_global = data_host.shape[0]
+        elif mesh is not None:
             d_sz = mesh.shape[DATA_AXIS]
             if N % d_sz:
                 data_host = np.concatenate(
                     [data_host, np.zeros((d_sz - N % d_sz, data_host.shape[1]),
                                          data_host.dtype)], axis=0)
+            n_rows_global = data_host.shape[0]
+        resident_rows = data_host.shape[0]
         if use_pallas:
             # Tile-major device layout: (nT, N, 128) -- contiguous DMA blocks
             # in every fused kernel (see ops.fused_step).
             data_host = np.ascontiguousarray(pk.tiles_from_rows(data_host))
         if mesh is not None:
+            from ..parallel.mesh import global_put
             batch_pspec = (P(SNP_AXIS, DATA_AXIS, None) if use_pallas
                            else P(DATA_AXIS, SNP_AXIS))
-            data_dev = jax.device_put(data_host,
-                                      NamedSharding(mesh, batch_pspec))
-            col_mask = jax.device_put(
-                jnp.asarray(col_mask_np), NamedSharding(mesh, P(SNP_AXIS)))
+            batch_sharding = NamedSharding(mesh, batch_pspec)
+            if n_proc > 1:
+                gshape = ((data_host.shape[0], n_rows_global,
+                           data_host.shape[2]) if use_pallas
+                          else (n_rows_global, data_host.shape[1]))
+                data_dev = jax.make_array_from_process_local_data(
+                    batch_sharding, data_host, gshape)
+            else:
+                data_dev = jax.device_put(data_host, batch_sharding)
+            col_mask = global_put(jnp.asarray(col_mask_np),
+                                  NamedSharding(mesh, P(SNP_AXIS)))
         else:
             data_dev = jnp.asarray(data_host)
             col_mask = jnp.asarray(col_mask_np)
@@ -293,11 +427,18 @@ class NeuralAdmixtureTrainer:
         opt_state = tx.init(params)
 
         supervised = pops is not None
-        pops_arr = jnp.asarray(pops if supervised else np.zeros(N),
-                               dtype=jnp.int32)
+        pops_np = np.asarray(pops if supervised else np.zeros(N))
+        if self._row_order is not None:
+            pops_np = pops_np[self._row_order]
+        pops_arr = jnp.asarray(pops_np, dtype=jnp.int32)
+        if n_proc > 1:
+            from ..parallel.mesh import global_put
+            pops_arr = global_put(np.asarray(pops_arr),
+                                  NamedSharding(mesh, P()))
         mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,
-                     mesh=mesh, params_template=params)
+                     mesh=mesh, params_template=params,
+                     sample_block=blk, n_rows=resident_rows)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
 
@@ -354,15 +495,23 @@ class NeuralAdmixtureTrainer:
                      f"({self.train_seconds:.2f}s for {epochs_run} epochs).")
 
         Qs = self._infer_q(params, data_dev, N, planar=use_pallas, mesh=mesh)
+        if self._row_order is not None:
+            # Resident rows were pre-shuffled for block sampling; restore
+            # the input sample order in every host-visible Q.
+            Qs = [self._unshuffle_rows(q) for q in Qs]
 
         if self.master:
             log.info("")
             log.info("    Training finished!")
             log.info("")
 
-        # Restore original SNP order for all host-visible artifacts.
+        # Restore original SNP order for all host-visible artifacts, and
+        # bring the trained parameters to host numpy (an all-gather joined
+        # by every process when leaves are sharded across hosts).
         if use_pallas:
             params = self._permute_params(params, self._inv_perm)
+        from ..parallel.distributed import to_host
+        params = jax.tree.map(to_host, params)
         self.display_divergences(params, M)
         Ps = [np.asarray(params["decoders"][f"k{k}"]).T[:M].astype(np.float32)
               for k in self.ks]
@@ -380,6 +529,7 @@ class NeuralAdmixtureTrainer:
             "hidden_size": int(cfg.hidden_size),
             "n_components": int(cfg.n_components),
             "seed": int(cfg.seed),
+            "sample_block": int(max(1, cfg.sample_block)),
         }
 
     def _save_checkpoint(self, epoch: int, params, opt_state, key) -> None:
@@ -387,7 +537,12 @@ class NeuralAdmixtureTrainer:
         decoders, optimizer moments, RNG key) -- a capability the reference
         lacks (final-state-only save, SURVEY.md section 5)."""
         import json
-        leaves = [np.asarray(x) for x in jax.tree.leaves((params, opt_state))]
+        from ..parallel.distributed import to_host
+        # to_host may all-gather sharded leaves -- a collective every
+        # process must join; only the write itself is master-only.
+        leaves = [to_host(x) for x in jax.tree.leaves((params, opt_state))]
+        if not self.master:
+            return
         arrays = {f"leaf_{i}": a for i, a in enumerate(leaves)}
         tmp = f"{self.cfg.checkpoint_path}.tmp.npz"
         np.savez(tmp, epoch=np.int64(epoch), key=np.asarray(key),
@@ -433,7 +588,8 @@ class NeuralAdmixtureTrainer:
         def _restore(tgt, src):
             sharding = getattr(tgt, "sharding", None)
             if isinstance(sharding, NamedSharding):
-                return jax.device_put(src, sharding)
+                from ..parallel.mesh import global_put
+                return global_put(src, sharding)
             return jnp.asarray(src)
 
         new_params = jax.tree.map(_restore, params, new_params)
@@ -459,6 +615,13 @@ class NeuralAdmixtureTrainer:
                and m_pad % (n_snp * 2 * snp_quantum) == 0):
             n_snp *= 2
         return n_snp
+
+    def data_axis_size(self, m_pad: int) -> int:
+        """Extent of the mesh's data axis for this config (1 = no mesh).
+        Lets the input pipeline compute per-host row blocks
+        (parallel.distributed.host_sample_shard) before any data is read."""
+        mesh = self._pick_mesh(m_pad, _use_pallas(self.cfg))
+        return mesh.shape[DATA_AXIS] if mesh is not None else 1
 
     def _pick_mesh(self, m_pad: int, use_pallas: bool):
         """Resolve the device mesh: explicit cfg.mesh_shape, or the auto
@@ -490,6 +653,11 @@ class NeuralAdmixtureTrainer:
                     f"mesh_shape {shape} needs {n_data * n_snp} devices but "
                     f"only {len(devices)} are available")
         return make_mesh(n_data, n_snp, devices=devices[:n_data * n_snp])
+
+    def _unshuffle_rows(self, q: np.ndarray) -> np.ndarray:
+        out = np.empty_like(q)
+        out[self._row_order] = q
+        return out
 
     @staticmethod
     def _permute_params(params: Dict, perm: np.ndarray) -> Dict:

@@ -61,9 +61,22 @@ def project_pca(packed, V: np.ndarray, N: int, block_rows: int = 4096
 
 
 def init_p_unsupervised(packed, V: np.ndarray, N: int, M: int, ks: List[int],
-                        seed: int) -> np.ndarray:
-    """GMM-based P init. Returns (sum(ks), M) float32, rows per K ascending."""
-    X_pca = project_pca(packed, V, N)
+                        seed: int, rows: Tuple[int, int] = None) -> np.ndarray:
+    """GMM-based P init. Returns (sum(ks), M) float32, rows per K ascending.
+
+    ``rows``: multi-host mode -- ``packed`` holds only this process's sample
+    rows [start, end). Each host projects its local rows, the tiny (N, D)
+    PCA coordinates are all-gathered, and every host runs the identical GMM
+    (same key, same data) so the resulting P needs no broadcast."""
+    if rows is not None:
+        from ..parallel.distributed import gather_ragged_rows
+        start, end = rows
+        X_local = np.asarray(project_pca(packed[:end - start], V,
+                                         end - start))
+        X_pca = jnp.asarray(gather_ragged_rows(X_local))
+        assert X_pca.shape[0] == N, (X_pca.shape, N)
+    else:
+        X_pca = project_pca(packed, V, N)
     Vj = jnp.asarray(V, jnp.float32)  # (D, M)
     P_blocks = []
     for K in sorted(ks):
@@ -93,19 +106,32 @@ def init_p_supervised(G: np.ndarray, y: np.ndarray, K: int) -> np.ndarray:
 
 
 def init_p_supervised_packed(packed, y: np.ndarray, K: int, M: int,
-                             block: int = 4096) -> np.ndarray:
+                             block: int = 4096,
+                             rows: Tuple[int, int] = None) -> np.ndarray:
     """Per-class mean genotype rows computed from 2-bit packed rows in device
     blocks (raw dosage scale, missing=3 included -- same semantics as
-    init_p_supervised / reference model/train.py:82)."""
+    init_p_supervised / reference model/train.py:82).
+
+    ``rows``: multi-host mode -- ``packed`` holds sample rows [start, end)
+    and ``y`` the full global labels; per-class sums and counts are combined
+    across hosts."""
     from ..io.packed import unpack_2bit_rows
 
+    if rows is not None:
+        start, end = rows
+        packed = packed[:end - start]
+        y = y[start:end]
     N = len(y)
     sums = np.zeros((K, M), dtype=np.float64)
     counts = np.bincount(y, minlength=K).astype(np.float64)
     for i in range(0, N, block):
         G_blk = unpack_2bit_rows(np.asarray(packed[i:i + block]), M)
         for k in range(K):
-            rows = G_blk[y[i:i + block] == k]
-            if rows.size:
-                sums[k] += rows.sum(axis=0, dtype=np.float64)
+            cls_rows = G_blk[y[i:i + block] == k]
+            if cls_rows.size:
+                sums[k] += cls_rows.sum(axis=0, dtype=np.float64)
+    if rows is not None:
+        from ..parallel.distributed import allsum_hosts
+        sums = allsum_hosts(sums)
+        counts = allsum_hosts(counts)
     return (sums / np.maximum(counts[:, None], 1.0)).astype(np.float32)

@@ -59,53 +59,6 @@ def main_train(args, t0: float) -> int:
         K, min_k, max_k = None, int(args.min_k), int(args.max_k)
         ks = list(range(min_k, max_k + 1))
 
-    # BED and PGEN stream straight into the sample-major 2-bit packed layout
-    # (no (N, M) uint8 matrix on host); other formats decode densely first.
-    suffixes = Path(args.data_path).suffixes
-    packed_native = ".bed" in suffixes or ".pgen" in suffixes
-    data = None
-    if packed_native:
-        if ".bed" in suffixes:
-            log.info("    Input format is BED.")
-            packed, N, M = read_bed_packed(args.data_path)
-        else:
-            log.info("    Input format is PGEN.")
-            from ..io.pgen import read_pgen_packed
-            packed, N, M = read_pgen_packed(args.data_path)
-        log.info(f"    Data contains {N} samples and {M} SNPs.")
-        pops = _read_pops(args.pops_path or None)
-    else:
-        data, pops, N, M = read_data(args.data_path, args.pops_path or None)
-        packed, _ = pack_with_padding(data)
-
-    log.info("")
-    log.info("    Running SVD...")
-    log.info("")
-    t_svd = time.time()
-    V = rsvd(packed, N, M, int(args.n_components), int(args.seed))
-    log.info(f"    Total time SVD: {time.time() - t_svd:.4f}s")
-    log.info("")
-
-    y_num = None
-    if pops is not None:
-        assert K is not None, "Supervised mode requires --k (a single K)."
-        assert len(pops) == N, (
-            f"Population file has {len(pops)} labels but the data has {N} "
-            "samples.")
-        log.info("")
-        log.info("    Running Supervised Mode...")
-        log.info("")
-        y_num, _ = encode_populations(pops, K)
-        if packed_native:
-            P_init = init_p_supervised_packed(packed, y_num, K, M)
-        else:
-            P_init = init_p_supervised(data, y_num, K)
-    else:
-        log.info("")
-        log.info("    Running Gaussian Mixture in PCA subspace...")
-        log.info("")
-        P_init = init_p_unsupervised(packed, V, N, M, ks, int(args.seed))
-
     cfg = TrainConfig(
         epochs=int(args.epochs), batch_size=int(args.batch_size),
         learning_rate=float(args.learning_rate), seed=int(args.seed),
@@ -116,6 +69,7 @@ def main_train(args, t0: float) -> int:
         checkpoint_every=int(getattr(args, "checkpoint_every", 0) or 0),
         checkpoint_path=str(Path(args.save_dir) / f"{args.name}_ckpt.npz"),
         resume=bool(getattr(args, "resume", False)),
+        sample_block=int(getattr(args, "sample_block", 1) or 1),
         # --mesh DxS pins the (data, snp) mesh explicitly; --num_gpus N>0
         # pins the device count, all data-parallel (reference semantics);
         # otherwise auto (all visible devices, snp axis engaged only when
@@ -124,22 +78,114 @@ def main_train(args, t0: float) -> int:
     if cfg.checkpoint_every or cfg.resume:
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     trainer = NeuralAdmixtureTrainer(cfg, master=is_master())
-    try:
-        Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
-                                                 pops=y_num)
 
-        if is_master():
-            # Log-likelihood report (reference: model/train.py:134-146).
-            for i, k in enumerate(sorted(ks)):
-                P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
-                Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
-                if packed_native:
-                    logl = loglikelihood_packed(packed, M, P64, Q64)
-                else:
-                    logl = loglikelihood(data, P64, Q64, k)
+    try:
+        # ------------------------- input pipeline --------------------------
+        # BED and PGEN stream straight into the sample-major 2-bit packed
+        # layout (no (N, M) uint8 matrix on host); other formats decode
+        # densely first. Multi-process runs read only this host's row block.
+        import jax
+        suffixes = Path(args.data_path).suffixes
+        packed_native = ".bed" in suffixes or ".pgen" in suffixes
+        n_proc = jax.process_count()
+        data, host_rows = None, None
+        if n_proc > 1:
+            assert ".bed" in suffixes, (
+                "Multi-process training currently requires BED input (each "
+                "host reads only its sample rows; VCF/PGEN inputs are "
+                "single-process for now).")
+            from math import ceil
+            from ..io.bed import (flip_packed_minor_allele, read_bed_dims,
+                                  read_bed_packed_rows, rezero_flip_padding)
+            from ..parallel.distributed import allsum_hosts, host_sample_shard
+            log.info("    Input format is BED.")
+            N, M = read_bed_dims(args.data_path)
+            d_sz = trainer.data_axis_size(ceil(M / 2048) * 2048)
+            start, end, _ = host_sample_shard(N, d_sz)
+            host_rows = (start, end)
+            packed, counts_local = read_bed_packed_rows(args.data_path,
+                                                        start, end)
+            # The minor-allele flip needs the GLOBAL dosage mean.
+            counts = allsum_hosts(counts_local)
+            assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), (
+                "Only biallelic SNPs are supported. Please make sure "
+                "multiallelic sites have been removed.")
+            if (counts * np.arange(4)).sum() / max(1, counts.sum()) >= 1:
+                packed = rezero_flip_padding(
+                    flip_packed_minor_allele(packed), M)
+            log.info(f"    Data contains {N} samples and {M} SNPs "
+                     f"({n_proc} hosts; this one holds rows "
+                     f"[{start}, {end})).")
+            pops = _read_pops(args.pops_path or None)
+        elif packed_native:
+            if ".bed" in suffixes:
+                log.info("    Input format is BED.")
+                packed, N, M = read_bed_packed(args.data_path)
+            else:
+                log.info("    Input format is PGEN.")
+                from ..io.pgen import read_pgen_packed
+                packed, N, M = read_pgen_packed(args.data_path)
+            log.info(f"    Data contains {N} samples and {M} SNPs.")
+            pops = _read_pops(args.pops_path or None)
+        else:
+            data, pops, N, M = read_data(args.data_path, args.pops_path or None)
+            packed, _ = pack_with_padding(data)
+
+        log.info("")
+        log.info("    Running SVD...")
+        log.info("")
+        t_svd = time.time()
+        V = rsvd(packed, N, M, int(args.n_components), int(args.seed),
+                 rows=host_rows)
+        log.info(f"    Total time SVD: {time.time() - t_svd:.4f}s")
+        log.info("")
+
+        y_num = None
+        if pops is not None:
+            assert K is not None, "Supervised mode requires --k (a single K)."
+            assert len(pops) == N, (
+                f"Population file has {len(pops)} labels but the data has {N} "
+                "samples.")
+            log.info("")
+            log.info("    Running Supervised Mode...")
+            log.info("")
+            y_num, _ = encode_populations(pops, K)
+            if packed_native:
+                P_init = init_p_supervised_packed(packed, y_num, K, M,
+                                                  rows=host_rows)
+            else:
+                P_init = init_p_supervised(data, y_num, K)
+        else:
+            log.info("")
+            log.info("    Running Gaussian Mixture in PCA subspace...")
+            log.info("")
+            P_init = init_p_unsupervised(packed, V, N, M, ks, int(args.seed),
+                                         rows=host_rows)
+
+        # ------------------------------ train ------------------------------
+        Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
+                                                 pops=y_num,
+                                                 host_rows=host_rows)
+
+        # Log-likelihood report (reference: model/train.py:134-146). In a
+        # multi-process run each host scores its local rows and the partial
+        # log-likelihoods are summed -- a collective all ranks must join.
+        for i, k in enumerate(sorted(ks)):
+            P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
+            Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
+            if host_rows is not None:
+                from ..parallel.distributed import allsum_hosts
+                logl = float(allsum_hosts(np.asarray(loglikelihood_packed(
+                    packed, M, P64, Q64[host_rows[0]:host_rows[1]]))))
+            elif packed_native:
+                logl = loglikelihood_packed(packed, M, P64, Q64)
+            else:
+                logl = loglikelihood(data, P64, Q64, k)
+            if is_master():
                 suffix = "" if K is not None else f" for K={k}"
                 log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
 
+        if is_master():
             Path(args.save_dir).mkdir(parents=True, exist_ok=True)
             save_checkpoint(params, args.name, args.save_dir,
                             strip_decoders=True)

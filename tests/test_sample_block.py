@@ -1,0 +1,68 @@
+"""Block-granular batch sampling (TrainConfig.sample_block > 1).
+
+Correctness pins:
+  * with a single batch covering every sample, the loss is a plain sum over
+    rows, so training is invariant to the sampling order -- block mode must
+    reproduce the classic per-row-shuffle run (incl. the Q row unshuffle
+    and supervised pops alignment through the resident pre-shuffle);
+  * the XLA and Pallas engines must agree under block sampling (same seed
+    -> same pre-shuffle and block permutation -> identical math);
+  * multi-batch block runs stay finite and produce valid simplex Q.
+"""
+import numpy as np
+import pytest
+
+from neural_admixture_tpu.io.packed import pack_with_padding
+from neural_admixture_tpu.train.engine import (NeuralAdmixtureTrainer,
+                                               TrainConfig)
+
+
+def _mk_data(seed=3, N=37, M=500, D=4, ks=(3,), supervised=False):
+    rng = np.random.default_rng(seed)
+    G = rng.integers(0, 4, size=(N, M)).astype(np.uint8)
+    V = rng.normal(size=(D, M)).astype(np.float32) * 0.1
+    P_init = rng.uniform(0.2, 0.8, size=(sum(ks), M)).astype(np.float32)
+    pops = rng.integers(0, min(ks), size=N) if supervised else None
+    return G, V, P_init, pops
+
+
+def _run(G, V, P_init, ks, blk, use_pallas, batch, epochs=2, pops=None):
+    cfg = TrainConfig(epochs=epochs, batch_size=batch, learning_rate=1e-2,
+                      seed=0, hidden_size=32, ks=list(ks), progress=False,
+                      use_pallas=use_pallas, sample_block=blk)
+    packed, _ = pack_with_padding(G)
+    tr = NeuralAdmixtureTrainer(cfg)
+    return tr.launch_training(P_init.copy(), packed, V, G.shape[1],
+                              G.shape[0], pops=pops)
+
+
+@pytest.mark.parametrize("supervised", [False, True])
+def test_single_batch_blocks_match_row_shuffle(supervised):
+    G, V, P_init, pops = _mk_data(supervised=supervised)
+    Qs_1, Ps_1, _ = _run(G, V, P_init, [3], 1, False, batch=64, pops=pops)
+    Qs_b, Ps_b, _ = _run(G, V, P_init, [3], 4, False, batch=64, pops=pops)
+    for q1, qb in zip(Qs_1, Qs_b):
+        np.testing.assert_allclose(qb, q1, rtol=2e-4, atol=2e-5)
+    for p1, pb in zip(Ps_1, Ps_b):
+        np.testing.assert_allclose(pb, p1, rtol=2e-4, atol=2e-5)
+
+
+def test_block_sampling_pallas_matches_xla():
+    G, V, P_init, _ = _mk_data(N=41, M=700)
+    Qs_x, Ps_x, _ = _run(G, V, P_init, [3], 8, False, batch=16)
+    Qs_p, Ps_p, _ = _run(G, V, P_init, [3], 8, True, batch=16)
+    for qx, qp_ in zip(Qs_x, Qs_p):
+        np.testing.assert_allclose(qp_, qx, rtol=5e-3, atol=5e-4)
+    for px, pp in zip(Ps_x, Ps_p):
+        np.testing.assert_allclose(pp, px, rtol=5e-3, atol=5e-4)
+
+
+def test_multibatch_block_run_is_valid():
+    G, V, P_init, _ = _mk_data(N=70, M=400, ks=(2, 3))
+    Qs, Ps, _ = _run(G, V, P_init, [2, 3], 4, False, batch=24)
+    for q in Qs:
+        assert q.shape[0] == 70
+        assert np.all(np.isfinite(q))
+        np.testing.assert_allclose(q.sum(axis=1), 1.0, rtol=1e-4)
+    for p in Ps:
+        assert np.isfinite(p).all() and p.min() >= 0 and p.max() <= 1

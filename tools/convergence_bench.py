@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Convergence benchmark: epochs needed to reach the reference golden
+log-likelihood (BASELINE.md "epochs-to-match" row).
+
+Trains the reference demo dataset (105 x 8451, K=7) in resumable segments
+(exercising the checkpoint/resume path) and scores the log-likelihood of
+the trained (Q, P) after each segment against the LL of the reference's
+shipped expected outputs (/root/reference/demo/outputs/*.expected), which
+score ~-326,814 on the demo data. Prints one JSON line:
+
+  {"metric": "epochs_to_match_ll", "value": E, "unit": "epochs",
+   "final_ll": ..., "target_ll": ..., "ll_curve": [[epoch, ll], ...]}
+
+Environment overrides:
+  NA_CONV_EPOCHS   total epochs (default 100)
+  NA_CONV_SEGMENT  LL measurement cadence (default 5)
+  NA_CONV_DATA     BED path (default: the reference demo)
+  NA_CONV_K        K (default 7)
+  NA_CONV_BLOCK    engine sample_block (gather granularity experiment)
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neural_admixture_tpu.io.bed import read_bed_packed  # noqa: E402
+from neural_admixture_tpu.ops.loglikelihood import (  # noqa: E402
+    loglikelihood_packed)
+from neural_admixture_tpu.ops.rsvd import rsvd  # noqa: E402
+from neural_admixture_tpu.train.engine import (  # noqa: E402
+    NeuralAdmixtureTrainer, TrainConfig)
+from neural_admixture_tpu.train.init import init_p_unsupervised  # noqa: E402
+from neural_admixture_tpu.utils.platform import (  # noqa: E402
+    enable_compile_cache, sync_platform_from_env)
+
+DEMO = "/root/reference/demo/data/demo_data.bed"
+EXPECTED_Q = "/root/reference/demo/outputs/demo_run.7.Q.expected"
+EXPECTED_P = "/root/reference/demo/outputs/demo_run.7.P.expected"
+
+
+def main() -> int:
+    sync_platform_from_env()
+    enable_compile_cache()
+    total = int(os.environ.get("NA_CONV_EPOCHS", 100))
+    seg = int(os.environ.get("NA_CONV_SEGMENT", 5))
+    data_path = os.environ.get("NA_CONV_DATA", DEMO)
+    K = int(os.environ.get("NA_CONV_K", 7))
+    seed = 42
+
+    packed, N, M = read_bed_packed(data_path)
+    V = rsvd(packed, N, M, 8, seed)
+    P_init = init_p_unsupervised(packed, V, N, M, [K], seed)
+
+    # Target: the reference's shipped golden outputs scored on this data.
+    if data_path == DEMO:
+        Qe = np.genfromtxt(EXPECTED_Q)
+        Pe = np.genfromtxt(EXPECTED_P)
+        target_ll = float(loglikelihood_packed(
+            packed, M, np.ascontiguousarray(Pe.astype(np.float64)),
+            np.ascontiguousarray(Qe.astype(np.float64))))
+    else:
+        target_ll = float("nan")
+
+    curve = []
+    matched = None
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = os.path.join(tmp, "conv_ckpt.npz")
+        for e in range(seg, total + 1, seg):
+            cfg = TrainConfig(
+                epochs=e,
+                batch_size=int(os.environ.get("NA_CONV_BATCH", 800)),
+                seed=seed, ks=[K], progress=False,
+                checkpoint_every=seg, checkpoint_path=ckpt, resume=True,
+                sample_block=int(os.environ.get("NA_CONV_BLOCK", "1")))
+            tr = NeuralAdmixtureTrainer(cfg)
+            Qs, Ps, _ = tr.launch_training(P_init, packed, V, M, N)
+            ll = float(loglikelihood_packed(
+                packed, M,
+                np.ascontiguousarray(Ps[0].astype(np.float64)),
+                np.ascontiguousarray(Qs[0].astype(np.float64))))
+            curve.append([e, round(ll, 1)])
+            print(f"# epoch {e:4d}  ll {ll:,.1f}  (target {target_ll:,.1f})",
+                  file=sys.stderr, flush=True)
+            if matched is None and ll >= target_ll:
+                matched = e
+
+    print(json.dumps({
+        "metric": "epochs_to_match_ll",
+        "value": matched if matched is not None else -1,
+        "unit": "epochs",
+        "final_ll": curve[-1][1],
+        "target_ll": round(target_ll, 1),
+        "seconds": round(time.time() - t0, 1),
+        "ll_curve": curve,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
