@@ -180,6 +180,45 @@ def read_pgen_packed(path: str, lane_multiple: int = 2048
     return packed, N, M
 
 
+def read_pgen_packed_rows(path: str, start: int, end: int,
+                          lane_multiple: int = 2048
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode only sample rows [start, end) into the packed layout.
+
+    PGEN multi-host input path, mirroring io.bed.read_bed_packed_rows's
+    contract: no validation or minor-allele flip (both need global counts);
+    returns (packed_rows, local_code_counts). Each variant block is read
+    once and only the local sample columns are kept.
+    """
+    from .bed import packed_code_counts
+
+    reader = open_pgen(path)
+    N, M = reader.N, reader.M
+    assert 0 <= start <= end <= N, (start, end, N)
+    n_local = end - start
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    packed = np.zeros((n_local, packed_width(m_pad)), dtype=np.uint8)
+    for v0 in range(0, M, _BLOCK_VARIANTS):
+        v1 = min(v0 + _BLOCK_VARIANTS, M)
+        gb = np.ascontiguousarray(
+            reader.read_block(v0, v1)[:, start:end].T)  # (n_local, vb)
+        vb4 = -(-(v1 - v0) // 4) * 4
+        if vb4 != v1 - v0:
+            gb = np.concatenate(
+                [gb, np.zeros((n_local, vb4 - (v1 - v0)), np.uint8)], axis=1)
+        g4 = gb.reshape(n_local, vb4 // 4, 4)
+        packed[:, v0 // 4:v0 // 4 + vb4 // 4] = (
+            g4[:, :, 0] | (g4[:, :, 1] << 2)
+            | (g4[:, :, 2] << 4) | (g4[:, :, 3] << 6))
+    return packed, packed_code_counts(packed, M)
+
+
+def pgen_dims(path: str) -> Tuple[int, int]:
+    """(N, M) of a PGEN fileset without decoding any genotypes."""
+    reader = open_pgen(path)
+    return reader.N, reader.M
+
+
 def write_pgen_mode2(path: str, G: np.ndarray,
                      psam: Optional[bool] = True) -> None:
     """Write a mode-0x02 fixed-width PGEN file (plus a minimal .psam).

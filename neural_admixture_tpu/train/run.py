@@ -90,21 +90,27 @@ def main_train(args, t0: float) -> int:
         n_proc = jax.process_count()
         data, host_rows = None, None
         if n_proc > 1:
-            assert ".bed" in suffixes, (
-                "Multi-process training currently requires BED input (each "
-                "host reads only its sample rows; VCF/PGEN inputs are "
-                "single-process for now).")
+            assert packed_native, (
+                "Multi-process training requires BED or PGEN input (each "
+                "host reads only its sample rows; VCF is single-process).")
             from math import ceil
-            from ..io.bed import (flip_packed_minor_allele, read_bed_dims,
-                                  read_bed_packed_rows, rezero_flip_padding)
+            from ..io.bed import (flip_packed_minor_allele,
+                                  rezero_flip_padding)
             from ..parallel.distributed import allsum_hosts, host_sample_shard
-            log.info("    Input format is BED.")
-            N, M = read_bed_dims(args.data_path)
+            if ".bed" in suffixes:
+                from ..io.bed import read_bed_dims, read_bed_packed_rows
+                log.info("    Input format is BED.")
+                N, M = read_bed_dims(args.data_path)
+                read_rows = read_bed_packed_rows
+            else:
+                from ..io.pgen import pgen_dims, read_pgen_packed_rows
+                log.info("    Input format is PGEN.")
+                N, M = pgen_dims(args.data_path)
+                read_rows = read_pgen_packed_rows
             d_sz = trainer.data_axis_size(ceil(M / 2048) * 2048)
             start, end, _ = host_sample_shard(N, d_sz)
             host_rows = (start, end)
-            packed, counts_local = read_bed_packed_rows(args.data_path,
-                                                        start, end)
+            packed, counts_local = read_rows(args.data_path, start, end)
             # The minor-allele flip needs the GLOBAL dosage mean.
             counts = allsum_hosts(counts_local)
             assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), (

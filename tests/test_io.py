@@ -97,3 +97,22 @@ def test_write_outputs_and_checkpoint_roundtrip(tmp_path):
     cfg = writers.load_config("run", str(tmp_path))
     assert cfg == {"ks": [3], "num_features": 8, "hidden_size": 64,
                    "activation": "relu"}
+
+
+def test_read_bed_packed_rows_slices_demo():
+    """The multi-host row-block read equals the full read's row slice.
+
+    The demo BED's dosage mean is < 1, so read_bed_packed applies no flip
+    and the two paths are directly comparable; byte-unaligned starts (11)
+    exercise the partial-byte decode."""
+    from neural_admixture_tpu.io.bed import (packed_code_counts,
+                                             read_bed_packed,
+                                             read_bed_packed_rows)
+    from tests.conftest import DEMO_BED
+
+    full, N, M = read_bed_packed(DEMO_BED)
+    for start, end in ((0, N), (11, 57), (96, N)):
+        rows, counts = read_bed_packed_rows(DEMO_BED, start, end)
+        np.testing.assert_array_equal(rows, full[start:end])
+        np.testing.assert_array_equal(
+            counts, packed_code_counts(full[start:end], M))

@@ -148,3 +148,22 @@ def test_train_cli_on_pgen(tmp_path):
     P = np.genfromtxt(f"{out}/pg.3.P")
     assert Q.shape == (40, 3) and P.shape == (120, 3)
     np.testing.assert_allclose(Q.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_read_pgen_packed_rows_slices(tmp_path, monkeypatch):
+    """The multi-host row-block read equals the full read's row slice
+    (pre-flip), and the local code counts cover exactly those rows."""
+    from neural_admixture_tpu.io.pgen import (pgen_dims,
+                                              read_pgen_packed_rows)
+    monkeypatch.setattr(pgen_mod, "_BLOCK_VARIANTS", 64)
+    G = _geno(N=23, M=170)
+    path = str(tmp_path / "rows.pgen")
+    write_pgen_mode2(path, G)
+
+    assert pgen_dims(path) == G.shape
+    start, end = 7, 18
+    packed_rows, counts = read_pgen_packed_rows(path, start, end)
+    expected, _ = pack_with_padding(G[start:end])
+    np.testing.assert_array_equal(packed_rows, expected)
+    np.testing.assert_array_equal(
+        counts, np.bincount(G[start:end].ravel(), minlength=4))
