@@ -184,6 +184,8 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             "Supervised loss weight must be >= 0."
         assert args.n_components > 0, \
             "Number of components for SVD must be > 0."
+        assert getattr(args, "sample_block", 1) >= 1, \
+            "sample_block must be >= 1."
         if getattr(args, "mesh", None):
             import re
             assert re.fullmatch(r"[1-9]\d*x[1-9]\d*", args.mesh), (
