@@ -88,11 +88,14 @@ def bench_jax():
         from neural_admixture_tpu.train.engine import block_geometry
         _, _, n_rows = block_geometry(N, B, use_pallas, None, blk)
         if n_rows != N:
-            pad = np.zeros((n_rows - N,) + packed_dev.shape[1:],
-                           np.asarray(packed_dev).dtype)
+            # sample axis: 1 in the tile-major (nT, N, 128) layout, else 0
+            axis = 1 if packed_dev.ndim == 3 else 0
+            pad_shape = list(packed_dev.shape)
+            pad_shape[axis] = n_rows - N
             packed_dev = jax.numpy.concatenate(
-                [packed_dev, jax.device_put(pad)],
-                axis=1 if packed_dev.ndim == 3 else 0)
+                [packed_dev,
+                 jax.device_put(np.zeros(pad_shape, packed_dev.dtype))],
+                axis=axis)
 
     # Measure the production-dominant path: the loss-free epoch (the loss
     # forward is only computed on logging epochs).

@@ -42,11 +42,16 @@ def _select_backend(num_gpus: int) -> None:
     if num_gpus == 0:
         try:
             jax.config.update("jax_platforms", "cpu")
-            log.info("    Running inference on CPU (--num_gpus 0).")
         except Exception:
+            pass
+        # Verify rather than trust: if any earlier code initialized a
+        # device backend, the config update silently has no effect.
+        if jax.default_backend() == "cpu":
+            log.info("    Running inference on CPU (--num_gpus 0).")
+        else:
             log.warning("    Could not force the CPU backend (a device "
-                        "backend is already initialized); inference will run "
-                        f"on {jax.default_backend()}.")
+                        "backend is already initialized); inference will "
+                        f"run on {jax.default_backend()}.")
 
 
 def main_infer(args, t0: float) -> int:

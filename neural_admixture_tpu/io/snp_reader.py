@@ -49,10 +49,17 @@ class SNPReader:
         except ImportError:
             from .vcf import read_vcf  # built-in dependency-free parser
             return read_vcf(file)
-        gt = allel.read_vcf(file, fields=["calldata/GT"])["calldata/GT"]
-        # Alt-allele dosage per call; fill=3 marks missing calls directly.
-        dosage = allel.GenotypeArray(gt).to_n_alt(fill=3)  # (M, N)
-        return np.ascontiguousarray(dosage.T.astype(np.uint8))
+        calls = allel.read_vcf(file, fields=["calldata/GT"],
+                               fills={"calldata/GT": -1})["calldata/GT"]
+        # Dosage = allele-code sum with missing alleles as -1; a negative
+        # sum (fully missing call, or half-missing with a ref allele)
+        # becomes 3. NOT to_n_alt: that would silently remap half-missing
+        # ('./1' -> 3 instead of 0) and multiallelic codes ('2/2' -> 2,
+        # evading the biallelic validation) away from the reference
+        # semantics (snp_reader.py:84-86).
+        dosage = calls.astype(np.int16).sum(axis=2)  # (M, N)
+        dosage[dosage < 0] = 3
+        return np.ascontiguousarray(dosage.T).astype(np.uint8)
 
     def read_data(self, file: str) -> np.ndarray:
         file_extensions = Path(file).suffixes

@@ -6,6 +6,7 @@ JIT (/root/reference/neural_admixture/setup.py:37-54,
 first use and cache the shared library next to the sources. Threading is
 std::thread (-pthread), not OpenMP -- see bed_decode.cpp.
 """
+import platform
 import subprocess
 import sysconfig
 from pathlib import Path
@@ -15,22 +16,50 @@ SRC = _HERE / "bed_decode.cpp"
 LIB = _HERE / "_libna_native.so"
 
 
+def _march_flags():
+    """Portable-first -march candidates the BUILD HOST can actually run.
+
+    Compilation with -march=x86-64-v3 succeeds on any x86 host (the
+    compiler never checks the CPU), so host support must be read from
+    /proc/cpuinfo: a v3 binary built on a pre-AVX2 host would SIGILL on
+    first use. Portable levels are preferred over -march=native because
+    the cached .so may be baked into an image and run elsewhere.
+    """
+    if platform.machine() not in ("x86_64", "AMD64"):
+        return ["-march=native", ""]
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    if "avx2" in flags:
+        return ["-march=x86-64-v3", "-march=native", ""]
+    if "sse4_2" in flags:
+        return ["-march=x86-64-v2", "-march=native", ""]
+    return ["-march=native", ""]
+
+
 def build(force: bool = False) -> Path:
     if LIB.exists() and not force and LIB.stat().st_mtime >= SRC.stat().st_mtime:
         return LIB
     cxx = sysconfig.get_config_var("CXX") or "g++"
     cxx = cxx.split()[0]
-    # -march=x86-64-v3 (AVX2 baseline), not -march=native: the cached .so may
-    # be baked into an image and run on a different host; -native binaries
-    # SIGILL on older CPUs. Falls back for non-x86 or very old compilers.
-    for march in ("-march=x86-64-v3", "-march=native"):
-        cmd = [cxx, "-O3", march, "-pthread", "-std=c++17", "-shared",
-               "-fPIC", str(SRC), "-o", str(LIB)]
+    res = None
+    for march in _march_flags():
+        cmd = [cxx, "-O3", "-pthread", "-std=c++17", "-shared", "-fPIC",
+               str(SRC), "-o", str(LIB)]
+        if march:
+            cmd.insert(2, march)
         res = subprocess.run(cmd, capture_output=True)
         if res.returncode == 0:
             return LIB
-    res.check_returncode()
-    return LIB
+    raise RuntimeError(
+        f"native build failed ({' '.join(cmd)}):\n"
+        f"{res.stderr.decode(errors='replace')}")
 
 
 if __name__ == "__main__":

@@ -38,7 +38,12 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
         "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
 
     # NOTE: jax.process_count()/device queries would initialize the backend
-    # and preempt jax.distributed.initialize -- keep them after it.
+    # and preempt jax.distributed.initialize -- the idempotency check and
+    # the no-distributed fallthrough must not touch the backend (a plain
+    # single-host `infer --num_gpus 0` still needs to pick its platform
+    # after this returns).
+    if jax.distributed.is_initialized():
+        return True
     if env_coord and env_nproc > 1:
         pid = process_id if process_id is not None else \
             int(os.environ.get("NA_TPU_PROCESS_ID", "0"))
@@ -51,24 +56,21 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
                                   "gloo")
             except Exception:
                 pass
-        try:
-            jax.distributed.initialize(coordinator_address=env_coord,
-                                       num_processes=env_nproc,
-                                       process_id=pid)
-        except RuntimeError:
-            pass  # already initialized (repeated call)
+        # A genuine failure (unreachable coordinator, port clash) must
+        # propagate: swallowing it would leave every rank believing it is
+        # a single-process master, duplicating work and racing on writes.
+        jax.distributed.initialize(coordinator_address=env_coord,
+                                   num_processes=env_nproc,
+                                   process_id=pid)
         log.info(f"    Distributed: process {pid}/{env_nproc} via {env_coord}")
         return True
     if auto_tpu_pod:
         # TPU pod slice: args are discovered from the TPU environment.
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass
+        jax.distributed.initialize()
         log.info(f"    Distributed: process {jax.process_index()}"
                  f"/{jax.process_count()} (TPU pod auto-config)")
         return True
-    return jax.process_count() > 1
+    return False
 
 
 def is_master() -> bool:
@@ -108,7 +110,10 @@ def host_sample_shard(N: int, data_axis_size: Optional[int] = None
     quantum = np.lcm(d_sz, n_proc)
     n_pad = ((N + quantum - 1) // quantum) * quantum
     rows_pp = n_pad // n_proc
-    start = p * rows_pp
+    # With more padding than rows_pp (tiny N, many processes) a tail
+    # process can own only padding; clamp so start <= end <= N and it
+    # simply reads an empty block.
+    start = min(p * rows_pp, N)
     return start, min(start + rows_pp, N), rows_pp
 
 

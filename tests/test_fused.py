@@ -146,11 +146,14 @@ def test_fast_recip_backward_matches_exact(monkeypatch):
 
     one = jnp.float32(1.0)
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "1")
-    (dq_e,), _ = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
+    (dq_e,), (dp_e,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
     monkeypatch.setenv("NA_TPU_EXACT_DIV", "0")
-    (dq_a,), _ = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
+    (dq_a,), (dp_a,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
 
+    # The single approx-reciprocal draw feeds BOTH reductions; pin both.
     np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_e),
+                               rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(dp_a), np.asarray(dp_e),
                                rtol=5e-3, atol=5e-2)
 
 
