@@ -84,3 +84,38 @@ def test_sharded_matches_single_device(mesh_shape, supervised, use_pallas):
         ks = jax.tree_util.keystr(k)
         np.testing.assert_allclose(np.asarray(v), np.asarray(flat_r[ks]),
                                    rtol=2e-4, atol=2e-3, err_msg=ks)
+
+
+def test_q_exactly_replicated_across_snp_shards():
+    """The supervised CE term divides by n_snp on the assumption that every
+    snp shard computes a bitwise-identical Q (the psum'd Xp is replicated);
+    any cross-shard drift (e.g. from a future approx-reciprocal or bf16
+    change in the Xp path) would silently mis-weight the CE. Pin exact
+    replication by exposing each snp shard's Q as a separate output row."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from neural_admixture_tpu.parallel.mesh import (DATA_AXIS, SNP_AXIS,
+                                                    param_specs, shard_params)
+    from neural_admixture_tpu.parallel.sharded_step import _psum_snp
+
+    params, packed, col_mask, row_w, pops = _setup(B=16, m_pad=8192, K=4)
+    mesh = make_mesh(2, 4, devices=jax.devices()[:8])
+    params_s = shard_params(params, mesh)
+    hk = sorted(params["heads"])[0]
+
+    def per_device(params, xb):
+        X = unpack_dosage_x(xb)
+        Xp = _psum_snp(X @ params["V"])
+        q = qp.encode_from_xp(params, Xp)[hk]
+        return q[None]  # (1, B_loc, k): one row per snp shard globally
+
+    fn = jax.jit(shard_map(
+        per_device, mesh=mesh,
+        in_specs=(param_specs(params), P(DATA_AXIS, SNP_AXIS)),
+        out_specs=P(SNP_AXIS, DATA_AXIS, None),
+        check_vma=False))
+    q_shards = np.asarray(fn(params_s, packed))
+    assert q_shards.shape[0] == 4
+    for s in range(1, 4):
+        np.testing.assert_array_equal(q_shards[s], q_shards[0])
