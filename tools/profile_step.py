@@ -53,6 +53,17 @@ def timeit(name, fn, *args):
 gather = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
 timeit("gather (nT,B,128)", gather, tiles, idx)
 
+# block-granular gather (engine sample_block): blk rows per read
+for blk in (8, 16, 64):
+    nblk = N // blk
+    nb_take = B // blk
+    rows = nb_take * blk  # ~B, rounded to whole blocks
+    bidx = jnp.asarray(rng.permutation(nblk)[:nb_take])
+    bg = jax.jit(lambda t, i, blk=blk, nblk=nblk, rows=rows: jnp.take(
+        t.reshape(t.shape[0], nblk, blk * t.shape[2]), i, axis=1
+    ).reshape(t.shape[0], rows, t.shape[2]))
+    timeit(f"gather blocks blk={blk} ({rows} rows)", bg, tiles, bidx)
+
 op = make_fused_training_loss([f"k{K}"])
 
 
