@@ -103,12 +103,12 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "data-parallel, moving devices to the snp axis "
                         "automatically when per-chip SNP-plane state would "
                         "exceed the HBM budget.")
-    parser.add_argument("--sample_block", required=False, default=16,
+    parser.add_argument("--sample_block", required=False, default=1,
                         type=int, help="Batch sampling granularity: draw "
                         "random runs of this many consecutive (pre-shuffled) "
-                        "samples instead of single rows. Larger blocks make "
-                        "the per-step batch gather read bigger contiguous "
-                        "spans of HBM; 1 = classic per-row shuffling.")
+                        "samples instead of single rows (1 = classic per-row "
+                        "shuffling, the default -- measured fastest on v5e; "
+                        "see PARITY.md round-2 notes).")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",

@@ -53,8 +53,10 @@ def timeit(name, fn, *args):
 gather = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
 timeit("gather (nT,B,128)", gather, tiles, idx)
 
-# block-granular gather (engine sample_block): blk rows per read
-for blk in (8, 16, 64):
+# block-granular gather (engine sample_block): blk rows per read.
+# Strategy A: reshape the tile-major resident to (nT, nblk, blk*128) and
+# take along axis 1 (what the engine does today).
+for blk in (16, 64):
     nblk = N // blk
     nb_take = B // blk
     rows = nb_take * blk  # ~B, rounded to whole blocks
@@ -62,7 +64,26 @@ for blk in (8, 16, 64):
     bg = jax.jit(lambda t, i, blk=blk, nblk=nblk, rows=rows: jnp.take(
         t.reshape(t.shape[0], nblk, blk * t.shape[2]), i, axis=1
     ).reshape(t.shape[0], rows, t.shape[2]))
-    timeit(f"gather blocks blk={blk} ({rows} rows)", bg, tiles, bidx)
+    timeit(f"gatherA reshape-take blk={blk}", bg, tiles, bidx)
+
+# Strategy B: block-major resident (nblk, nT, blk, 128) -- each index
+# slices one fully contiguous nT*blk*512B chunk -- then transpose the
+# gathered batch back to tile-major.
+for blk in (16, 64):
+    nblk = N // blk
+    nb_take = B // blk
+    rows = nb_take * blk
+    nT = tiles.shape[0]
+    res_bm = jax.device_put(np.ascontiguousarray(
+        np.asarray(tiles).reshape(nT, nblk, blk, 128)
+        .transpose(1, 0, 2, 3)))
+    bidx = jnp.asarray(rng.permutation(nblk)[:nb_take])
+    bg_b = jax.jit(lambda r, i, rows=rows, nT=nT: jnp.take(r, i, axis=0)
+                   .transpose(1, 0, 2, 3).reshape(nT, rows, 128))
+    timeit(f"gatherB block-major blk={blk}", bg_b, res_bm, bidx)
+    gonly = jax.jit(lambda r, i: jnp.take(r, i, axis=0))
+    timeit(f"gatherB take only blk={blk}", gonly, res_bm, bidx)
+    del res_bm
 
 op = make_fused_training_loss([f"k{K}"])
 
