@@ -66,3 +66,25 @@ def test_multibatch_block_run_is_valid():
         np.testing.assert_allclose(q.sum(axis=1), 1.0, rtol=1e-4)
     for p in Ps:
         assert np.isfinite(p).all() and p.min() >= 0 and p.max() <= 1
+
+
+def test_block_geometry_invariants():
+    """Padding must tile into exactly nb whole batches of whole blocks and
+    keep the step count equal to the row-sampling epoch's ceil(N/b_round)."""
+    from neural_admixture_tpu.train.engine import block_geometry
+
+    class _M:  # minimal mesh stand-in
+        def __init__(self, d):
+            self.shape = {"data": d, "snp": 1}
+
+    for N, bs, pallas, d_sz, blk in [(4096, 800, True, 1, 16),
+                                     (4096, 800, True, 8, 16),
+                                     (105, 800, False, 1, 16),
+                                     (37, 16, False, 8, 4),
+                                     (100_000, 800, True, 4, 64)]:
+        mesh = _M(d_sz) if d_sz > 1 else None
+        b_round, nb, rows = block_geometry(N, bs, pallas, mesh, blk)
+        assert rows == nb * b_round
+        assert b_round % blk == 0 and b_round % (d_sz * blk) == 0
+        assert rows >= N and rows - N < b_round
+        assert nb == -(-N // b_round)
