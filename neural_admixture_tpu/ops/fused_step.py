@@ -54,11 +54,20 @@ def _encoder_apply(enc_params, Xp, head_keys: List[str]):
 
 
 def _xv_kernel(u_ref, v_ref, out_ref):
+    """Xp^T = (X @ V)^T accumulated over M tiles, as (nB, D, tb) row blocks.
+
+    Transposed output: a (tb, D) block with D=8 uses 8 of 128 lanes of every
+    VMEM tile and store; (D, tb) is ~dense. The tb lane extent must be the
+    block's FULL last dimension (Mosaic requires lane blocks in multiples of
+    128 otherwise), hence the 3-D (nB, D, tb) shape instead of (D, B); the
+    caller reassembles (B, D) once outside."""
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
     x = _unpack_x(u_ref[0])
-    out_ref[:] += jnp.dot(x, v_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] += jax.lax.dot_general(
+        v_ref[:], x, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _loss_kernel(n_heads):
@@ -109,18 +118,23 @@ def _dq_dp_kernel(n_heads):
             q = q_ref[:]
             tb = q.shape[0]
             draw = _draw_tile(q, p_ref[:], x, mask_rw)
-            dq_blk = jax.lax.dot_general(
-                draw, p_ref[:], (((1,), (1,)), ((), ())),
+            # dq transposed (k, tb): the small head dim on sublanes, batch
+            # on lanes -- a (tb, k<=few) result uses k of 128 lanes of every
+            # VMEM tile and store. The full (nB, k, tb) output is resident
+            # (constant index map) and accumulates over the outer M loop;
+            # only the leading (untiled) dim is indexed dynamically, which
+            # Mosaic lowers as a plain block offset.
+            dqt_blk = jax.lax.dot_general(
+                p_ref[:], draw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            rows = pl.dslice(i * tb, tb)
 
             @pl.when(j == 0)
-            def _(dq_ref=dq_ref, rows=rows, dq_blk=dq_blk):
-                dq_ref[rows, :] = dq_blk
+            def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
+                dq_ref[i] = dqt_blk
 
             @pl.when(j > 0)
-            def _(dq_ref=dq_ref, rows=rows, dq_blk=dq_blk):
-                dq_ref[rows, :] += dq_blk
+            def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
+                dq_ref[i] += dqt_blk
 
             @pl.when(i == 0)
             def _(dp_ref=dp_ref):
@@ -133,15 +147,19 @@ def _dq_dp_kernel(n_heads):
     return kernel
 
 
-def _dv_kernel(u_ref, dxp_ref, dv_ref):
-    """Pass 3: dV = X^T dXp. Separate from pass 2 because dXp is the
-    encoder VJP of pass 2's dq -- a true sequential dependency."""
+def _dvt_kernel(u_ref, dxp_ref, dvt_ref):
+    """Pass 3: dV^T = dXp^T X. Separate from pass 2 because dXp is the
+    encoder VJP of pass 2's dq -- a true sequential dependency.
+
+    Computed TRANSPOSED: a (TM, D) block with D=8 uses 8 of 128 lanes of
+    every register and store; the (D, TM) layout is dense. The caller
+    transposes the small (D, m_pad) result once outside."""
     @pl.when(pl.program_id(1) == 0)
     def _():
-        dv_ref[:] = jnp.zeros_like(dv_ref)
+        dvt_ref[:] = jnp.zeros_like(dvt_ref)
     x = _unpack_x(u_ref[0])
-    dv_ref[:] += jax.lax.dot_general(
-        x, dxp_ref[:], (((0,), (0,)), ((), ())),
+    dvt_ref[:] += jax.lax.dot_general(
+        dxp_ref[:], x, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -187,7 +205,7 @@ def _common_specs(tb, order="bm"):
 def _xv_call(u32, V, tb):
     B = u32.shape[1]
     m_pad, D = V.shape
-    return pl.pallas_call(
+    xpt = pl.pallas_call(
         _xv_kernel,
         grid=(B // tb, m_pad // TM),
         in_specs=[
@@ -195,14 +213,15 @@ def _xv_call(u32, V, tb):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, D), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, D, tb), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B // tb, D, tb), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         interpret=_interpret(),
     )(u32, V)
+    return xpt.transpose(0, 2, 1).reshape(B, D)
 
 
 def _loss_call(qs, Ps, u32, cm2, rw2, tb):
@@ -237,11 +256,12 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb):
                   + _common_specs(tb, "mb")
                   + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)]),
-        out_specs=([pl.BlockSpec((B, k), lambda j, i: (0, 0),
+        out_specs=([pl.BlockSpec((B // tb, k, tb), lambda j, i: (0, 0, 0),
                                  memory_space=pltpu.VMEM) for k in ks]
                    + [pl.BlockSpec((k, TM), lambda j, i: (0, j),
                                    memory_space=pltpu.VMEM) for k in ks]),
-        out_shape=([jax.ShapeDtypeStruct((B, k), jnp.float32) for k in ks]
+        out_shape=([jax.ShapeDtypeStruct((B // tb, k, tb), jnp.float32)
+                    for k in ks]
                    + [jax.ShapeDtypeStruct((k, m_pad), jnp.float32)
                       for k in ks]),
         cost_estimate=pl.CostEstimate(
@@ -249,15 +269,18 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb):
             transcendentals=0),
         interpret=_interpret(),
     )(*qs, *Ps, u32, cm2, rw2, g2)
-    return outs[:len(ks)], outs[len(ks):]
+    ks_n = len(ks)
+    dqs = [o.transpose(0, 2, 1).reshape(B, k)
+           for o, k in zip(outs[:ks_n], ks)]
+    return dqs, outs[ks_n:]
 
 
 def _dv_call(u32, dXp, tb):
     B = u32.shape[1]
     m_pad = u32.shape[0] * TM
     D = dXp.shape[1]
-    return pl.pallas_call(
-        _dv_kernel,
+    dvt = pl.pallas_call(
+        _dvt_kernel,
         grid=(m_pad // TM, B // tb),
         in_specs=[
             pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
@@ -265,14 +288,15 @@ def _dv_call(u32, dXp, tb):
             pl.BlockSpec((tb, D), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, D), lambda j, i: (j, 0),
+        out_specs=pl.BlockSpec((D, TM), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         interpret=_interpret(),
     )(u32, dXp)
+    return dvt.T
 
 
 # ------------------------------ the op --------------------------------------
