@@ -103,11 +103,12 @@ def bench_jax():
 
     # Measure the production-dominant path: the loss-free epoch (the loss
     # forward is only computed on logging epochs).
+    no_missing = use_pallas and not pk.packed_has_missing(packed)
     epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
                              supervised_loss_weight=0.0,
                              use_pallas=use_pallas, compute_loss=False,
                              params_template=params, sample_block=blk,
-                             n_rows=n_rows)
+                             n_rows=n_rows, no_missing=no_missing)
     key = jax.random.PRNGKey(42)
 
     # NOTE: sync via a scalar value fetch from the updated params --

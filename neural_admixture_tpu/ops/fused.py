@@ -57,16 +57,23 @@ def pick_tb(B: int) -> int:
         "pad the batch to a multiple of 8")
 
 
-def _unpack_x(u32_tile):
+def _unpack_x(u32_tile, no_missing: bool = False):
     """(TB, TW) uint32 -> (TB, TM) f32 dosage/2, missing -> 0 (planar order).
 
     Mosaic has no uint32->f32 cast; shift/mask in uint32, then go through
     int32 (values are in {0,1,2,3}, so the reinterpretation is exact).
+
+    ``no_missing``: trace-time specialization when the host verified the
+    packed matrix contains no code-3 genotypes (ops.pack.packed_has_missing)
+    -- drops the compare+select, ~2 of the ~6 VPU ops per genotype in the
+    unpack that dominates the kernels' critical path.
     """
     parts = [((u32_tile >> jnp.uint32(2 * b)) & jnp.uint32(3))
              for b in range(16)]
     g = jnp.concatenate(parts, axis=-1).astype(jnp.int32)  # (TB, TM)
     x = g.astype(jnp.float32) * 0.5
+    if no_missing:
+        return x
     return jnp.where(g == 3, 0.0, x)
 
 
@@ -105,5 +112,6 @@ def _draw_tile(q, p, x, mask_rw):
         drec = (rec - x) * pl.reciprocal(denom, approx=True)
     else:
         drec = (rec - x) / denom
-    inside = jnp.logical_and(raw >= 0.0, raw <= 1.0)
-    return jnp.where(inside, drec, 0.0) * mask_rw
+    # In-range test as raw == rec (clip is the identity exactly on [0, 1]):
+    # one compare instead of ge+le+and. NaN raws still yield 0 either way.
+    return jnp.where(raw == rec, drec, 0.0) * mask_rw

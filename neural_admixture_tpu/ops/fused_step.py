@@ -53,7 +53,7 @@ def _encoder_apply(enc_params, Xp, head_keys: List[str]):
 # --------------------------- pallas kernels --------------------------------
 
 
-def _xv_kernel(u_ref, v_ref, out_ref):
+def _xv_kernel(no_missing):
     """Xp^T = (X @ V)^T accumulated over M tiles, as (nB, D, tb) row blocks.
 
     Transposed output: a (tb, D) block with D=8 uses 8 of 128 lanes of every
@@ -61,16 +61,18 @@ def _xv_kernel(u_ref, v_ref, out_ref):
     block's FULL last dimension (Mosaic requires lane blocks in multiples of
     128 otherwise), hence the 3-D (nB, D, tb) shape instead of (D, B); the
     caller reassembles (B, D) once outside."""
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-    x = _unpack_x(u_ref[0])
-    out_ref[0] += jax.lax.dot_general(
-        v_ref[:], x, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def kernel(u_ref, v_ref, out_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        x = _unpack_x(u_ref[0], no_missing)
+        out_ref[0] += jax.lax.dot_general(
+            v_ref[:], x, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return kernel
 
 
-def _loss_kernel(n_heads):
+def _loss_kernel(n_heads, no_missing):
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
@@ -80,7 +82,7 @@ def _loss_kernel(n_heads):
         def _():
             out_ref[0, 0] = 0.0
 
-        x = _unpack_x(u_ref[0])
+        x = _unpack_x(u_ref[0], no_missing)
         mask_rw = cm_ref[:] * rw_ref[:]
         total = 0.0
         for q_ref, p_ref in zip(q_refs, p_refs):
@@ -90,7 +92,7 @@ def _loss_kernel(n_heads):
     return kernel
 
 
-def _dq_dp_kernel(n_heads):
+def _dq_dp_kernel(n_heads, no_missing):
     """Merged pass 2: dq AND dp for all heads from ONE packed read.
 
     The expensive per-tile ``draw`` (decode matmul + BCE/clamp backward
@@ -110,7 +112,7 @@ def _dq_dp_kernel(n_heads):
         j = pl.program_id(0)  # M tile (outer)
         i = pl.program_id(1)  # B tile (inner)
 
-        x = _unpack_x(u_ref[0])
+        x = _unpack_x(u_ref[0], no_missing)
         mask_rw = cm_ref[:] * rw_ref[:]
         g = g_ref[0, 0]
         for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
@@ -147,20 +149,22 @@ def _dq_dp_kernel(n_heads):
     return kernel
 
 
-def _dvt_kernel(u_ref, dxp_ref, dvt_ref):
+def _dvt_kernel(no_missing):
     """Pass 3: dV^T = dXp^T X. Separate from pass 2 because dXp is the
     encoder VJP of pass 2's dq -- a true sequential dependency.
 
     Computed TRANSPOSED: a (TM, D) block with D=8 uses 8 of 128 lanes of
     every register and store; the (D, TM) layout is dense. The caller
     transposes the small (D, m_pad) result once outside."""
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dvt_ref[:] = jnp.zeros_like(dvt_ref)
-    x = _unpack_x(u_ref[0])
-    dvt_ref[:] += jax.lax.dot_general(
-        dxp_ref[:], x, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    def kernel(u_ref, dxp_ref, dvt_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dvt_ref[:] = jnp.zeros_like(dvt_ref)
+        x = _unpack_x(u_ref[0], no_missing)
+        dvt_ref[:] += jax.lax.dot_general(
+            dxp_ref[:], x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return kernel
 
 
 # --------------------------- pallas call wrappers --------------------------
@@ -202,11 +206,11 @@ def _common_specs(tb, order="bm"):
     ]
 
 
-def _xv_call(u32, V, tb):
+def _xv_call(u32, V, tb, no_missing=False):
     B = u32.shape[1]
     m_pad, D = V.shape
     xpt = pl.pallas_call(
-        _xv_kernel,
+        _xv_kernel(no_missing),
         grid=(B // tb, m_pad // TM),
         in_specs=[
             pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
@@ -224,12 +228,12 @@ def _xv_call(u32, V, tb):
     return xpt.transpose(0, 2, 1).reshape(B, D)
 
 
-def _loss_call(qs, Ps, u32, cm2, rw2, tb):
+def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False):
     ks = [q.shape[1] for q in qs]
     B = u32.shape[1]
     m_pad = cm2.shape[1]
     out = pl.pallas_call(
-        _loss_kernel(len(ks)),
+        _loss_kernel(len(ks), no_missing),
         grid=(B // tb, m_pad // TM),
         in_specs=(_q_specs(ks, tb) + _p_specs(ks) + _common_specs(tb)),
         out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -244,13 +248,13 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb):
     return out[0, 0]
 
 
-def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb):
+def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False):
     ks = [q.shape[1] for q in qs]
     B = u32.shape[1]
     m_pad = cm2.shape[1]
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
     outs = pl.pallas_call(
-        _dq_dp_kernel(len(ks)),
+        _dq_dp_kernel(len(ks), no_missing),
         grid=(m_pad // TM, B // tb),
         in_specs=(_q_specs(ks, tb, "mb") + _p_specs(ks, "mb")
                   + _common_specs(tb, "mb")
@@ -275,12 +279,12 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb):
     return dqs, outs[ks_n:]
 
 
-def _dv_call(u32, dXp, tb):
+def _dv_call(u32, dXp, tb, no_missing=False):
     B = u32.shape[1]
     m_pad = u32.shape[0] * TM
     D = dXp.shape[1]
     dvt = pl.pallas_call(
-        _dvt_kernel,
+        _dvt_kernel(no_missing),
         grid=(m_pad // TM, B // tb),
         in_specs=[
             pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
@@ -303,14 +307,15 @@ def _dv_call(u32, dXp, tb):
 
 
 def make_fused_training_loss(head_keys: List[str],
-                             snp_axis: Optional[str] = None):
+                             snp_axis: Optional[str] = None,
+                             no_missing: bool = False):
     """Build the (V, enc_params, Ps, u32, col_mask, row_w) ->
     (bce_loss_sum, qs) op with the 3-pass custom VJP described above."""
     head_keys = sorted(head_keys)
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
         tb = pick_tb(u32.shape[1])
-        Xp = _xv_call(u32, V, tb)
+        Xp = _xv_call(u32, V, tb, no_missing)
         if snp_axis is not None:
             Xp = jax.lax.psum(Xp, snp_axis)
         qs = _encoder_apply(enc_params, Xp, head_keys)
@@ -318,7 +323,8 @@ def make_fused_training_loss(head_keys: List[str],
         p_list = [Ps[hk] for hk in head_keys]
         cm2 = col_mask.reshape(1, -1)
         rw2 = row_w.reshape(-1, 1)
-        loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb)
+        loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb,
+                          no_missing)
         return loss, qs, Xp
 
     @jax.custom_vjp
@@ -343,7 +349,7 @@ def make_fused_training_loss(head_keys: List[str],
         p_list = [Ps[hk] for hk in head_keys]
 
         dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
-                                       g_loss, tb)
+                                       g_loss, tb, no_missing)
         dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
                for i, hk in enumerate(head_keys)}
         denc, dXp = enc_vjp(dqs)
@@ -352,7 +358,7 @@ def make_fused_training_loss(head_keys: List[str],
             # shards that consumed the replicated psum result.
             dXp = jax.lax.psum(dXp, snp_axis)
 
-        dV = _dv_call(u32, dXp, tb)
+        dV = _dv_call(u32, dXp, tb, no_missing)
         dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
         return (dV, denc, dPs, None, None, None)
 

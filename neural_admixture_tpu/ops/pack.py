@@ -77,6 +77,24 @@ def packed_view_u32(packed: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(packed).view("<u4")
 
 
+def packed_has_missing(packed: np.ndarray, block_rows: int = 4096) -> bool:
+    """Host-side check: does any 2-bit code equal 3 (missing)?
+
+    A byte holds a 0b11 pair iff ``b & (b >> 1) & 0b01010101`` is nonzero.
+    Blocked with early exit so biobank-scale matrices don't materialize a
+    full-size temporary. Column padding is packed as 0 and cannot alias 3.
+    Used to trace the fused kernels without the missing->0 select
+    (ops.fused._unpack_x no_missing), which is on the VPU critical path.
+    """
+    b8 = np.ascontiguousarray(packed).view(np.uint8).reshape(
+        packed.shape[0], -1)
+    for i in range(0, b8.shape[0], block_rows):
+        blk = b8[i:i + block_rows]
+        if np.any(blk & (blk >> 1) & 0x55):
+            return True
+    return False
+
+
 def unpack_genotypes_planar(u32: jnp.ndarray,
                             tile: int = PLANAR_TILE) -> jnp.ndarray:
     """(B, W4) uint32 -> (B, 16*W4) genotypes in planar order."""

@@ -150,7 +150,8 @@ def block_geometry(N: int, batch_size: int, use_pallas: bool, mesh,
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   supervised_loss_weight: float, use_pallas: bool = False,
                   mesh=None, params_template=None, compute_loss: bool = True,
-                  sample_block: int = 1, n_rows: Optional[int] = None):
+                  sample_block: int = 1, n_rows: Optional[int] = None,
+                  no_missing: bool = False):
     """Build the jitted one-epoch function (scan over shuffled batches).
 
     With ``mesh`` set, the loss/grad of each step runs under shard_map on the
@@ -187,7 +188,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         if use_pallas:
             from ..ops.fused_step import make_fused_training_loss
             fused_op = make_fused_training_loss(
-                sorted(params_template["heads"]))
+                sorted(params_template["heads"]), no_missing=no_missing)
         loss_fn = partial(_loss_fn, supervised=supervised,
                           supervised_loss_weight=supervised_loss_weight,
                           use_pallas=use_pallas, fused_op=fused_op)
@@ -201,7 +202,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         from ..parallel.sharded_step import make_sharded_loss_and_grad
         loss_and_grad = make_sharded_loss_and_grad(
             mesh, params_template, supervised, supervised_loss_weight,
-            use_pallas)
+            use_pallas, no_missing=no_missing)
         batch_sharding = NamedSharding(
             mesh, P(SNP_AXIS, DATA_AXIS, None) if use_pallas
             else P(DATA_AXIS, SNP_AXIS))
@@ -435,10 +436,15 @@ class NeuralAdmixtureTrainer:
             from ..parallel.mesh import global_put
             pops_arr = global_put(np.asarray(pops_arr),
                                   NamedSharding(mesh, P()))
+        # Trace-time specialization: when the host verified there are no
+        # code-3 genotypes, the kernels skip the missing->0 select entirely
+        # (~2 of ~6 VPU ops per genotype in the unpack).
+        no_missing = use_pallas and not pk.packed_has_missing(packed_np)
         mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,
                      mesh=mesh, params_template=params,
-                     sample_block=blk, n_rows=resident_rows)
+                     sample_block=blk, n_rows=resident_rows,
+                     no_missing=no_missing)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
 

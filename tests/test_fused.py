@@ -163,3 +163,54 @@ def test_pick_tb():
     assert pick_tb(256) == 256
     assert pick_tb(8) == 8
     assert pick_tb(24) == 24
+
+
+def test_packed_has_missing():
+    G = np.array([[0, 1, 2, 0]], dtype=np.uint8)
+    assert not pk.packed_has_missing(pack_2bit_rows(G))
+    G[0, 2] = 3
+    assert pk.packed_has_missing(pack_2bit_rows(G))
+    # a lone missing genotype deep in a big matrix is found
+    G2 = np.zeros((100, 500), np.uint8)
+    assert not pk.packed_has_missing(pack_2bit_rows(G2), block_rows=16)
+    G2[77, 431] = 3
+    assert pk.packed_has_missing(pack_2bit_rows(G2), block_rows=16)
+
+
+def test_no_missing_kernels_match_default_path():
+    """no_missing=True must be bit-identical to the default kernels on data
+    without code-3 genotypes (it only removes the missing->0 select)."""
+    rng = np.random.default_rng(7)
+    B, M, m_pad, K = 16, 3000, 4096, 5
+    G = rng.integers(0, 3, size=(B, M)).astype(np.uint8)  # no missing
+    packed = pack_2bit_rows(G, m_pad=m_pad)
+    assert not pk.packed_has_missing(packed)
+    tiles = jnp.asarray(np.ascontiguousarray(
+        pk.tiles_from_rows(pk.packed_view_u32(packed))))
+    perm = pk.planar_perm(m_pad)
+    Q = jnp.asarray(rng.dirichlet(np.ones(K), size=B).astype(np.float32))
+    P = jnp.asarray(rng.uniform(-0.1, 1.1, size=(K, m_pad)).astype(np.float32))
+    cm = jnp.asarray((np.arange(m_pad) < M).astype(np.float32))[perm]
+    rw = jnp.ones((B,), jnp.float32)
+    cm2, rw2 = cm.reshape(1, -1), rw.reshape(-1, 1)
+    Pp = P[:, jnp.asarray(perm)]
+    tb = pick_tb(B)
+    V = jnp.asarray(rng.normal(size=(m_pad, 8)).astype(np.float32))
+    dxp = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+
+    for nm in (False, True):
+        loss = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb, no_missing=nm)
+        dqs, dps = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2,
+                                  jnp.float32(1), tb, no_missing=nm)
+        xp = fs._xv_call(tiles, V, tb, no_missing=nm)
+        dv = fs._dv_call(tiles, dxp, tb, no_missing=nm)
+        if not nm:
+            ref = (loss, dqs[0], dps[0], xp, dv)
+        else:
+            np.testing.assert_array_equal(np.asarray(loss), np.asarray(ref[0]))
+            np.testing.assert_array_equal(np.asarray(dqs[0]),
+                                          np.asarray(ref[1]))
+            np.testing.assert_array_equal(np.asarray(dps[0]),
+                                          np.asarray(ref[2]))
+            np.testing.assert_array_equal(np.asarray(xp), np.asarray(ref[3]))
+            np.testing.assert_array_equal(np.asarray(dv), np.asarray(ref[4]))
