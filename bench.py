@@ -58,11 +58,11 @@ def bench_jax():
     use_pallas = (jax.default_backend() in ("tpu", "axon")
                   if pallas_env is None else pallas_env == "1")
 
-    # Measured on v5e (2026-08-17): blk=1 35.4k, blk=16 20.6k, blk=64
-    # 28.9k samples/s -- XLA lowers the reshape-based block take WORSE
-    # than the 512B row gather, so row sampling stays the default until a
-    # block-major resident layout proves out (tools/profile_step.py).
-    blk = int(os.environ.get("NA_BENCH_BLOCK", 1))
+    # Measured on v5e (2026-08-17) with the dynamic-slice block gather:
+    # blk=1 56.8k, blk=16 60.8k, blk=32 61.1k samples/s. 16 matches the
+    # production CLI default (demo convergence proven indistinguishable;
+    # tools/convergence_bench.py NA_CONV_BLOCK).
+    blk = int(os.environ.get("NA_BENCH_BLOCK", 16))
     packed, m_pad = make_synthetic_packed(N, M, K)
     rng = np.random.default_rng(1)
     V = rng.normal(size=(D, M)).astype(np.float32) * 0.01

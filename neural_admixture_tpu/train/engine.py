@@ -67,7 +67,8 @@ class TrainConfig:
     # time at 1M SNPs); the resident rows are pre-shuffled once at load so
     # blocks are random population mixtures. Epoch semantics stay
     # every-sample-exactly-once. LL impact measured in
-    # tools/convergence_bench.py (NA_CONV_BLOCK).
+    # tools/convergence_bench.py (NA_CONV_BLOCK); 16 is the CLI default
+    # (dynamic-slice block gather, ~7% faster end-to-end on v5e @1M SNPs).
     sample_block: int = 1
     # Device mesh (n_data, n_snp): None = auto (all devices data-parallel
     # when more than one device is visible; single-device path otherwise).
@@ -228,22 +229,22 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         def step(carry, idx_b):
             params, opt_state = carry
             if blk > 1:
-                # Gather at block granularity (one read = blk contiguous
-                # rows); reshapes on the resident array are free views.
-                nblk_ = n_rows // blk
+                # Gather at block granularity: one dynamic-slice per block
+                # of blk contiguous rows, concatenated. XLA lowers each
+                # slice as a strided copy, which measures FASTER than both
+                # its generic gather at block granularity (reshape-take,
+                # tools/profile_step.py) and the per-row gather (v5e @1M
+                # SNPs, batch+xv in-scan: per-row 5.42 ms vs dyn-slices
+                # 4.96/4.79/4.63 ms at blk=8/16/32).
                 row_idx = (idx_b[:, None] * blk
                            + jnp.arange(blk, dtype=idx_b.dtype)).reshape(-1)
                 row_weight = (row_idx < N).astype(jnp.float32)
                 safe = jnp.minimum(row_idx, N - 1)
-                if packed.ndim == 3:
-                    pv = packed.reshape(packed.shape[0], nblk_,
-                                        blk * packed.shape[2])
-                    xb = jnp.take(pv, idx_b, axis=1).reshape(
-                        packed.shape[0], b_round, packed.shape[2])
-                else:
-                    pv = packed.reshape(nblk_, blk * packed.shape[1])
-                    xb = jnp.take(pv, idx_b, axis=0).reshape(
-                        b_round, packed.shape[1])
+                s_ax = 1 if packed.ndim == 3 else 0
+                xb = jnp.concatenate(
+                    [jax.lax.dynamic_slice_in_dim(packed, idx_b[b] * blk,
+                                                  blk, axis=s_ax)
+                     for b in range(b_round // blk)], axis=s_ax)
                 pops_b = jnp.take(pops, safe, axis=0)
             else:
                 row_weight = (idx_b < N).astype(jnp.float32)
