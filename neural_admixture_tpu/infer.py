@@ -5,6 +5,7 @@ Mirrors /root/reference/neural_admixture/src/inference.py:16-102: load
 model (V comes from the checkpoint), batched forward, write ``{out_name}.{K}.Q``.
 """
 import time
+from pathlib import Path
 from typing import List
 
 import jax.numpy as jnp
@@ -71,7 +72,23 @@ def main_infer(args, t0: float) -> int:
         return 1
 
     log.info("    Model config file loaded. Loading weights...")
-    params = load_checkpoint(args.name, args.save_dir)
+    from_torch = False
+    try:
+        params = load_checkpoint(args.name, args.save_dir)
+    except FileNotFoundError:
+        # Drop-in path for models trained by the reference implementation:
+        # fall back to its torch state-dict format
+        # (/root/reference/neural_admixture/src/inference.py:54-57).
+        from .io.torch_interop import load_pt_checkpoint
+        pt = Path(args.save_dir) / f"{args.name}.pt"
+        if not pt.exists():
+            log.error(f"    No weights found: neither {args.save_dir}/"
+                      f"{args.name}.npz nor {pt} exists.")
+            return 1
+        log.info(f"    Loading reference-format torch weights ({pt}).")
+        params = load_pt_checkpoint(args.name, args.save_dir,
+                                    [int(k) for k in config["ks"]])
+        from_torch = True
     params = {k: v for k, v in params.items()}  # shallow copy; no decoders
     log.info("")
     log.info("    Model weights loaded.")
@@ -80,6 +97,18 @@ def main_infer(args, t0: float) -> int:
     data, *_ = read_data(args.data_path)
     N, M = data.shape
     trained_m = config.get("num_snps")
+    if from_torch:
+        # A reference .pt stores V with exactly the trained M rows (no
+        # padding), which pins the variant count; pad V to the packed lane
+        # multiple so device shapes line up (zero rows are inert in X @ V).
+        trained_m = params["V"].shape[0] if trained_m is None else trained_m
+        lane = 2048
+        m_aligned = ((params["V"].shape[0] + lane - 1) // lane) * lane
+        pad = m_aligned - params["V"].shape[0]
+        if pad:
+            params["V"] = np.concatenate(
+                [params["V"],
+                 np.zeros((pad, params["V"].shape[1]), np.float32)], axis=0)
     if trained_m is not None:
         assert M == int(trained_m), (
             f"Data has {M} SNPs but the model was trained on {trained_m}; "

@@ -195,6 +195,16 @@ def main_train(args, t0: float) -> int:
             Path(args.save_dir).mkdir(parents=True, exist_ok=True)
             save_checkpoint(params, args.name, args.save_dir,
                             strip_decoders=True)
+            # Also export the reference's torch .pt format (decoder-stripped,
+            # exact-M V) so its tooling can consume models trained here and
+            # output files are a superset of the reference's
+            # (/root/reference/neural_admixture/src/main.py:40-43).
+            try:
+                from ..io.torch_interop import save_pt_checkpoint
+                save_pt_checkpoint(params, args.name, args.save_dir,
+                                   num_snps=M)
+            except ImportError:
+                log.info("    torch not available; skipping the .pt export.")
             save_config(args.name, args.save_dir, ks=sorted(ks),
                         num_features=V.shape[0],
                         hidden_size=int(args.hidden_size), num_snps=M)

@@ -28,6 +28,15 @@ def test_train_writes_all_artifacts(trained_dir):
         assert P.min() >= 0 and P.max() <= 1
     assert (trained_dir / "cli_run.npz").exists()
     assert (trained_dir / "cli_run_config.json").exists()
+    # Reference-format torch export: decoder-stripped, exact-M (unpadded) V
+    # (/root/reference/neural_admixture/src/main.py:40-43 output contract).
+    import torch
+    sd = torch.load(trained_dir / "cli_run.pt", weights_only=True)
+    assert sd["V"].shape == (8451, 8)
+    assert not any(k.startswith("decoders") for k in sd)
+    assert {"batch_norm.weight", "common_encoder.0.weight",
+            "multihead_encoder.heads.0.weight",
+            "multihead_encoder.heads.1.bias"} <= set(sd)
 
 
 def test_infer_cli_reproduces_training_q(trained_dir):
