@@ -60,14 +60,20 @@ def _xv_kernel(no_missing):
     VMEM tile and store; (D, tb) is ~dense. The tb lane extent must be the
     block's FULL last dimension (Mosaic requires lane blocks in multiples of
     128 otherwise), hence the 3-D (nB, D, tb) shape instead of (D, B); the
-    caller reassembles (B, D) once outside."""
-    def kernel(u_ref, v_ref, out_ref):
+    caller reassembles (B, D) once outside.
+
+    The V operand arrives TRANSPOSED as (D, m_pad) with dense (D, TM)
+    blocks: a (TM, D) block puts D=8 on lanes (8/128-dense operand tiles),
+    measured 7.21 -> 4.15 ms/call isolated on v5e @1M SNPs, bit-exact
+    (tools/tune_matmul_forms.py). The one (m_pad, D) -> (D, m_pad) XLA
+    transpose per step outside costs ~0.15 ms of HBM traffic."""
+    def kernel(u_ref, vt_ref, out_ref):
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
         x = _unpack_x(u_ref[0], no_missing)
         out_ref[0] += jax.lax.dot_general(
-            v_ref[:], x, (((0,), (1,)), ((), ())),
+            vt_ref[:], x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     return kernel
 
@@ -209,13 +215,14 @@ def _common_specs(tb, order="bm"):
 def _xv_call(u32, V, tb, no_missing=False):
     B = u32.shape[1]
     m_pad, D = V.shape
+    vt = V.T  # dense (D, TM) operand blocks; see _xv_kernel docstring
     xpt = pl.pallas_call(
         _xv_kernel(no_missing),
         grid=(B // tb, m_pad // TM),
         in_specs=[
             pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, D, tb), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -224,7 +231,7 @@ def _xv_call(u32, V, tb, no_missing=False):
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         interpret=_interpret(),
-    )(u32, V)
+    )(u32, vt)
     return xpt.transpose(0, 2, 1).reshape(B, D)
 
 
