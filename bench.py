@@ -90,7 +90,7 @@ def bench_jax():
     n_rows = None
     if blk > 1:
         from neural_admixture_tpu.train.engine import block_geometry
-        _, _, n_rows = block_geometry(N, B, use_pallas, None, blk)
+        _, _, _, n_rows = block_geometry(N, B, use_pallas, None, blk)
         if n_rows != N:
             # sample axis: 1 in the tile-major (nT, N, 128) layout, else 0
             axis = 1 if packed_dev.ndim == 3 else 0

@@ -8,8 +8,9 @@ every step, followed by a full-data sequential Q inference pass.
 
 TPU-first design differences from the reference (semantics preserved):
   * the whole epoch runs as one jitted ``lax.scan`` over shuffled fixed-size
-    batches (no DataLoader, no per-step dispatch); the final partial batch is
-    padded and masked with zero row-weights;
+    batches plus one statically-shaped short remainder batch (no DataLoader,
+    no per-step dispatch; padding within the remainder is masked with zero
+    row-weights);
   * batches are gathered from the 2-bit-packed resident genotype matrix and
     unpacked on the fly inside the step (no uint8 N x M matrix in HBM);
   * on TPU, the M-plane work (X @ V, decode, BCE, their gradients) runs in
@@ -133,19 +134,27 @@ def batch_align(use_pallas: bool, mesh) -> int:
 
 
 def block_geometry(N: int, batch_size: int, use_pallas: bool, mesh,
-                   blk: int) -> Tuple[int, int, int]:
-    """(b_round, nb, resident_rows) for block sampling (blk > 1).
+                   blk: int) -> Tuple[int, int, int, int]:
+    """(b_round, nb, b_rem, resident_rows) for block sampling (blk > 1).
 
-    Every batch is b_round rows = whole blocks; resident rows are padded to
-    EXACTLY nb * b_round so an epoch runs the same ceil(N / b_round) steps
-    as row sampling would (extra all-padding steps are not harmless: Adam
-    moments decay on zero-grad steps). b_round is a multiple of
-    d_sz * blk, so blocks never straddle devices."""
+    An epoch runs nb = ceil(N / b_round) optimizer steps -- nb-1 full
+    b_round-row batches plus one REMAINDER batch of b_rem <= b_round rows,
+    mirroring the reference DataLoader's short final batch
+    (/root/reference/neural_admixture/src/loaders.py:33, drop_last
+    defaulting False). Padding therefore costs at most one alignment
+    quantum of rows instead of a full batch (at N=4096, B=800 the old
+    nb*b_round padding computed 4800 rows/epoch for 4096 real ones).
+    The step count is unchanged (extra all-padding steps are not harmless:
+    Adam moments decay on zero-grad steps). b_round and b_rem are
+    multiples of d_sz * blk, so blocks never straddle devices; resident
+    rows are padded to exactly (nb-1) * b_round + b_rem."""
     d_sz = mesh.shape[DATA_AXIS] if mesh is not None else 1
     q = int(np.lcm(batch_align(use_pallas, mesh), d_sz * blk))
     b_round = ((min(batch_size, N) + q - 1) // q) * q
     nb = (N + b_round - 1) // b_round
-    return b_round, nb, nb * b_round
+    rem = N - (nb - 1) * b_round
+    b_rem = ((rem + q - 1) // q) * q
+    return b_round, nb, b_rem, (nb - 1) * b_round + b_rem
 
 
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
@@ -173,16 +182,18 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     blk = max(1, sample_block)
     if blk > 1:
         # Block sampling: batches are whole blocks of `blk` consecutive
-        # resident rows; the epoch is a permutation of all n_rows // blk
-        # blocks (padding rows ride along with zero weight).
-        b_round, nb, want_rows = block_geometry(N, batch_size, use_pallas,
-                                                mesh, blk)
+        # resident rows; the epoch is a permutation of the data-bearing
+        # blocks, split into nb-1 full batches and one remainder batch
+        # (padding blocks ride only in the remainder, with zero weight).
+        b_round, nb, b_rem, want_rows = block_geometry(
+            N, batch_size, use_pallas, mesh, blk)
         assert n_rows == want_rows, (n_rows, want_rows)
     else:
         align = batch_align(use_pallas, mesh)
         nb = (N + batch_size - 1) // batch_size
-        pad = nb * batch_size - N
         b_round = ((batch_size + align - 1) // align) * align
+        rem = N - (nb - 1) * batch_size
+        b_rem = ((rem + align - 1) // align) * align
 
     if mesh is None:
         fused_op = None
@@ -212,19 +223,31 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, packed, col_mask, pops, key):
         if blk > 1:
-            nblk = n_rows // blk
-            idx = jax.random.permutation(key, nblk).reshape(nb,
-                                                            b_round // blk)
+            # Permute the data-bearing blocks; full batches take the first
+            # (nb-1) * F of them, the remainder batch takes the rest plus
+            # the all-padding blocks at the top of the resident array.
+            F, R = b_round // blk, b_rem // blk
+            nblk_res = n_rows // blk
+            nblk_data = -(-N // blk)
+            perm = jax.random.permutation(key, nblk_data)
+            idx_full = perm[:(nb - 1) * F].reshape(nb - 1, F)
+            idx_rem = jnp.concatenate(
+                [perm[(nb - 1) * F:],
+                 jnp.arange(nblk_data, nblk_res, dtype=perm.dtype)])
         else:
+            # Per-row sampling: sentinel index N marks padding rows (zero
+            # row-weight; gathers clamp to N-1).
             perm = jax.random.permutation(key, N)
-            if pad:
-                perm = jnp.concatenate(
-                    [perm, jnp.full((pad,), N, dtype=perm.dtype)])
-            idx = perm.reshape(nb, batch_size)
+            idx_full = perm[:(nb - 1) * batch_size].reshape(
+                nb - 1, batch_size)
             if b_round != batch_size:
-                idx = jnp.concatenate(
-                    [idx, jnp.full((nb, b_round - batch_size), N, idx.dtype)],
-                    axis=1)
+                idx_full = jnp.concatenate(
+                    [idx_full,
+                     jnp.full((nb - 1, b_round - batch_size), N,
+                              idx_full.dtype)], axis=1)
+            tail = perm[(nb - 1) * batch_size:]
+            idx_rem = jnp.concatenate(
+                [tail, jnp.full((b_rem - tail.shape[0],), N, perm.dtype)])
 
         def step(carry, idx_b):
             params, opt_state = carry
@@ -244,7 +267,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 xb = jnp.concatenate(
                     [jax.lax.dynamic_slice_in_dim(packed, idx_b[b] * blk,
                                                   blk, axis=s_ax)
-                     for b in range(b_round // blk)], axis=s_ax)
+                     for b in range(idx_b.shape[0])], axis=s_ax)
                 pops_b = jnp.take(pops, safe, axis=0)
             else:
                 row_weight = (idx_b < N).astype(jnp.float32)
@@ -266,8 +289,16 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             params = qp.restrict_P(params)
             return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
-        return params, opt_state, jnp.sum(losses)
+        carry = (params, opt_state)
+        loss_total = jnp.float32(0)
+        if nb > 1:
+            carry, losses = jax.lax.scan(step, carry, idx_full)
+            loss_total = loss_total + jnp.sum(losses)
+        # The remainder batch has its own (smaller) static width -- the step
+        # traces a second time at b_rem rows, like the reference's short
+        # final DataLoader batch.
+        (params, opt_state), loss_rem = step(carry, idx_rem)
+        return params, opt_state, loss_total + loss_rem
 
     return epoch_fn
 
@@ -378,7 +409,7 @@ class NeuralAdmixtureTrainer:
         elif blk > 1:
             # Rows must tile exactly into nb whole batches of whole blocks
             # (see block_geometry).
-            _, _, target = block_geometry(N, cfg.batch_size, use_pallas,
+            _, _, _, target = block_geometry(N, cfg.batch_size, use_pallas,
                                           mesh, blk)
             if target != N:
                 data_host = np.concatenate(

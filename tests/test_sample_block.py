@@ -69,8 +69,12 @@ def test_multibatch_block_run_is_valid():
 
 
 def test_block_geometry_invariants():
-    """Padding must tile into exactly nb whole batches of whole blocks and
-    keep the step count equal to the row-sampling epoch's ceil(N/b_round)."""
+    """Resident rows must tile into exactly nb-1 full batches plus one
+    remainder batch of whole aligned blocks, the step count must equal
+    ceil(N/b_round), and padding must cost less than one alignment
+    quantum (the reference's short-final-batch DataLoader semantics)."""
+    import numpy as np
+
     from neural_admixture_tpu.train.engine import block_geometry
 
     class _M:  # minimal mesh stand-in
@@ -83,8 +87,13 @@ def test_block_geometry_invariants():
                                      (37, 16, False, 8, 4),
                                      (100_000, 800, True, 4, 64)]:
         mesh = _M(d_sz) if d_sz > 1 else None
-        b_round, nb, rows = block_geometry(N, bs, pallas, mesh, blk)
-        assert rows == nb * b_round
-        assert b_round % blk == 0 and b_round % (d_sz * blk) == 0
-        assert rows >= N and rows - N < b_round
+        b_round, nb, b_rem, rows = block_geometry(N, bs, pallas, mesh, blk)
+        q = int(np.lcm(8 if pallas else 1, d_sz * blk))
+        assert rows == (nb - 1) * b_round + b_rem
+        assert b_round % q == 0 and b_rem % q == 0
+        assert 0 < b_rem <= b_round
+        assert rows >= N and rows - N < q
         assert nb == -(-N // b_round)
+    # the bench workload: padding shrinks from 704 rows to 0
+    b_round, nb, b_rem, rows = block_geometry(4096, 800, True, None, 16)
+    assert (b_round, nb, b_rem, rows) == (800, 6, 96, 4096)
