@@ -25,11 +25,40 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
 
     from .train.chunked import chunked_forward
 
+    packed = np.asarray(packed)
+    m_pad = packed.shape[1] * 4
+    use_fused = (jax.default_backend() in ("tpu", "axon")
+                 and m_pad % 2048 == 0)
+    import os
+    if os.environ.get("NA_TPU_FORCE_PALLAS") in ("0", "1"):
+        use_fused = (os.environ["NA_TPU_FORCE_PALLAS"] == "1"
+                     and m_pad % 2048 == 0)
+    if use_fused:
+        # Tile-major planar layout -> the fused xv kernel computes X @ V
+        # from the 2-bit words directly; the (B, M) f32 X of the XLA path
+        # (16x the packed bytes) never exists.
+        from .ops import pack as pk
+        from .ops.fused_step import fused_infer_q
+
+        perm = pk.planar_perm(m_pad)
+        params = dict(params)
+        params["V"] = jnp.asarray(np.asarray(params["V"])[perm])
+        no_missing = not pk.packed_has_missing(packed)
+        u32 = pk.packed_view_u32(packed)
+
+        @jax.jit
+        def fwd(p, xb):
+            return fused_infer_q(p, pk.tiles_from_rows(xb), no_missing)
+
+        B = -(-min(N, batch_size) // 8) * 8  # xv kernel: 8-sublane rows
+        qs = chunked_forward(lambda blk: fwd(params, blk), u32, N, B)
+        return [qs[f"k{k}"] for k in sorted(ks)]
+
     @jax.jit
     def fwd(p, xb):
         return qp.forward_infer(p, unpack_dosage_x(xb))
 
-    qs = chunked_forward(lambda blk: fwd(params, blk), np.asarray(packed),
+    qs = chunked_forward(lambda blk: fwd(params, blk), packed,
                          N, min(N, batch_size))
     return [qs[f"k{k}"] for k in sorted(ks)]
 

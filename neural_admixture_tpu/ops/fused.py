@@ -78,12 +78,20 @@ def _unpack_x(u32_tile, no_missing: bool = False):
 
 
 def _bce_terms(q, p, x, mask_rw):
-    """Shared forward math for one tile. Returns (raw, rec, elementwise loss)."""
+    """Shared forward math for one tile. Returns (raw, rec, elementwise loss).
+
+    ``mask_rw=None`` skips the mask multiply entirely (trace-time
+    specialization for provably all-real batches -- see ops.fused_step's
+    ``masked`` flag). Exact: padded SNP columns contribute exactly 0 anyway
+    (padded P columns are 0 and stay 0 through training, padded packed bits
+    decode to x=0, so x*logr = 0*(-100) = 0 and log1p(-0) = 0)."""
     raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     logr = jnp.maximum(jnp.log(rec), _LOG_CLAMP)
     log1mr = jnp.maximum(jnp.log1p(-rec), _LOG_CLAMP)
-    elem = -(x * logr + (1.0 - x) * log1mr) * mask_rw
+    elem = -(x * logr + (1.0 - x) * log1mr)
+    if mask_rw is not None:
+        elem = elem * mask_rw
     return raw, rec, elem
 
 
@@ -104,7 +112,11 @@ def _use_fast_recip() -> bool:
 
 
 def _draw_tile(q, p, x, mask_rw):
-    """d(loss)/d(raw) for one tile (torch BCE+clamp backward)."""
+    """d(loss)/d(raw) for one tile (torch BCE+clamp backward).
+
+    ``mask_rw=None`` skips the mask multiply (all-real batches): padded SNP
+    columns have raw = rec = x = 0, so (rec - x) = 0 makes the draw exactly 0
+    there without masking."""
     raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     denom = jnp.maximum(rec * (1.0 - rec), _GRAD_EPS)
@@ -114,4 +126,7 @@ def _draw_tile(q, p, x, mask_rw):
         drec = (rec - x) / denom
     # In-range test as raw == rec (clip is the identity exactly on [0, 1]):
     # one compare instead of ge+le+and. NaN raws still yield 0 either way.
-    return jnp.where(raw == rec, drec, 0.0) * mask_rw
+    draw = jnp.where(raw == rec, drec, 0.0)
+    if mask_rw is not None:
+        draw = draw * mask_rw
+    return draw

@@ -78,18 +78,24 @@ def _xv_kernel(no_missing):
     return kernel
 
 
-def _loss_kernel(n_heads, no_missing):
+def _loss_kernel(n_heads, no_missing, masked=True):
+    """``masked=False`` (all-real batches, see make_fused_training_loss)
+    drops the cm/rw operands and the two mask multiplies per genotype."""
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
-        u_ref, cm_ref, rw_ref, out_ref = refs[2 * n_heads:]
+        if masked:
+            u_ref, cm_ref, rw_ref, out_ref = refs[2 * n_heads:]
+            mask_rw = cm_ref[:] * rw_ref[:]
+        else:
+            u_ref, out_ref = refs[2 * n_heads:]
+            mask_rw = None
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
         def _():
             out_ref[0, 0] = 0.0
 
         x = _unpack_x(u_ref[0], no_missing)
-        mask_rw = cm_ref[:] * rw_ref[:]
         total = 0.0
         for q_ref, p_ref in zip(q_refs, p_refs):
             _, _, elem = _bce_terms(q_ref[:], p_ref[:], x, mask_rw)
@@ -98,7 +104,7 @@ def _loss_kernel(n_heads, no_missing):
     return kernel
 
 
-def _dq_dp_kernel(n_heads, no_missing):
+def _dq_dp_kernel(n_heads, no_missing, masked=True):
     """Merged pass 2: dq AND dp for all heads from ONE packed read.
 
     The expensive per-tile ``draw`` (decode matmul + BCE/clamp backward
@@ -112,14 +118,20 @@ def _dq_dp_kernel(n_heads, no_missing):
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
-        u_ref, cm_ref, rw_ref, g_ref = refs[2 * n_heads:2 * n_heads + 4]
-        dq_refs = refs[2 * n_heads + 4:3 * n_heads + 4]
-        dp_refs = refs[3 * n_heads + 4:]
+        if masked:
+            u_ref, cm_ref, rw_ref, g_ref = refs[2 * n_heads:2 * n_heads + 4]
+            mask_rw = cm_ref[:] * rw_ref[:]
+            dq_refs = refs[2 * n_heads + 4:3 * n_heads + 4]
+            dp_refs = refs[3 * n_heads + 4:]
+        else:
+            u_ref, g_ref = refs[2 * n_heads:2 * n_heads + 2]
+            mask_rw = None
+            dq_refs = refs[2 * n_heads + 2:3 * n_heads + 2]
+            dp_refs = refs[3 * n_heads + 2:]
         j = pl.program_id(0)  # M tile (outer)
         i = pl.program_id(1)  # B tile (inner)
 
         x = _unpack_x(u_ref[0], no_missing)
-        mask_rw = cm_ref[:] * rw_ref[:]
         g = g_ref[0, 0]
         for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
                                                 dp_refs):
@@ -192,24 +204,27 @@ def _p_specs(ks, order="bm"):
                          memory_space=pltpu.VMEM) for k in ks]
 
 
-def _common_specs(tb, order="bm"):
-    """Specs for (tiles, col_mask, row_weight). The packed batch is
+def _common_specs(tb, order="bm", masked=True):
+    """Specs for (tiles[, col_mask, row_weight]). The packed batch is
     tile-major (nT, B, TW): each (1, tb, TW) block is one contiguous DMA
     (row-major (B, W4) layout reads 512-byte strided strips, which caps HBM
-    efficiency at ~8%% -- measured in tools/tune_unpack.py)."""
+    efficiency at ~8%% -- measured in tools/tune_unpack.py). With
+    ``masked=False`` the mask operands are not passed at all."""
     if order == "bm":
-        return [
+        specs = [
             pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ]
-    return [
-        pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-    ]
+    else:
+        specs = [
+            pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    return specs if masked else specs[:1]
 
 
 def _xv_call(u32, V, tb, no_missing=False):
@@ -235,14 +250,16 @@ def _xv_call(u32, V, tb, no_missing=False):
     return xpt.transpose(0, 2, 1).reshape(B, D)
 
 
-def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False):
+def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True):
     ks = [q.shape[1] for q in qs]
     B = u32.shape[1]
-    m_pad = cm2.shape[1]
+    m_pad = u32.shape[0] * TM
+    operands = (*qs, *Ps, u32, cm2, rw2) if masked else (*qs, *Ps, u32)
     out = pl.pallas_call(
-        _loss_kernel(len(ks), no_missing),
+        _loss_kernel(len(ks), no_missing, masked),
         grid=(B // tb, m_pad // TM),
-        in_specs=(_q_specs(ks, tb) + _p_specs(ks) + _common_specs(tb)),
+        in_specs=(_q_specs(ks, tb) + _p_specs(ks)
+                  + _common_specs(tb, masked=masked)),
         out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -251,20 +268,22 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False):
             bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
         interpret=_interpret(),
-    )(*qs, *Ps, u32, cm2, rw2)
+    )(*operands)
     return out[0, 0]
 
 
-def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False):
+def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True):
     ks = [q.shape[1] for q in qs]
     B = u32.shape[1]
-    m_pad = cm2.shape[1]
+    m_pad = u32.shape[0] * TM
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
+    operands = ((*qs, *Ps, u32, cm2, rw2, g2) if masked
+                else (*qs, *Ps, u32, g2))
     outs = pl.pallas_call(
-        _dq_dp_kernel(len(ks), no_missing),
+        _dq_dp_kernel(len(ks), no_missing, masked),
         grid=(m_pad // TM, B // tb),
         in_specs=(_q_specs(ks, tb, "mb") + _p_specs(ks, "mb")
-                  + _common_specs(tb, "mb")
+                  + _common_specs(tb, "mb", masked=masked)
                   + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)]),
         out_specs=([pl.BlockSpec((B // tb, k, tb), lambda j, i: (0, 0, 0),
@@ -279,7 +298,7 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False):
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         interpret=_interpret(),
-    )(*qs, *Ps, u32, cm2, rw2, g2)
+    )(*operands)
     ks_n = len(ks)
     dqs = [o.transpose(0, 2, 1).reshape(B, k)
            for o, k in zip(outs[:ks_n], ks)]
@@ -310,14 +329,43 @@ def _dv_call(u32, dXp, tb, no_missing=False):
     return dvt.T
 
 
+def fused_infer_q(params: Dict, tiles_batch, no_missing: bool = False
+                  ) -> Dict:
+    """Encoder-only forward from a TILE-MAJOR (nT, B, words) packed batch.
+
+    Inference needs only Xp = X @ V before the tiny encoder; computing it
+    with the xv Pallas kernel reads the 2-bit words once and never
+    materializes the (B, M) f32 X that the XLA path
+    (ops.pack.unpack_dosage_x_planar -> matmul) expands to -- 16x the HBM
+    traffic at biobank M. Backs the engine's post-training Q pass and the
+    projective-inference CLI (reference: encoder-only batched forward,
+    /root/reference/neural_admixture/src/inference.py:67-77)."""
+    tb = pick_tb(tiles_batch.shape[1])
+    Xp = _xv_call(tiles_batch, params["V"], tb, no_missing)
+    return qp.encode_from_xp(params, Xp)
+
+
 # ------------------------------ the op --------------------------------------
 
 
 def make_fused_training_loss(head_keys: List[str],
                              snp_axis: Optional[str] = None,
-                             no_missing: bool = False):
+                             no_missing: bool = False,
+                             masked: bool = True):
     """Build the (V, enc_params, Ps, u32, col_mask, row_w) ->
-    (bce_loss_sum, qs) op with the 3-pass custom VJP described above."""
+    (bce_loss_sum, qs) op with the 3-pass custom VJP described above.
+
+    ``masked=False`` is a trace-time specialization for batches the caller
+    proves are ALL-REAL rows (the engine's full batches under the
+    remainder-batch scheme): the loss/dq_dp kernels drop the col_mask *
+    row_weight operands and their per-genotype multiplies. Exactness does
+    not depend on masking the padded SNP columns because (a) padded packed
+    bits decode to x = 0 and (b) padded P columns are exactly 0 at init
+    (models.qp.init_params) and stay 0 through training (their grads are 0
+    by (a)+(b), Adam maps zero moments + zero grad to a zero update, and
+    the [0,1] clamp fixes 0) -- so every padded-column loss/draw term is
+    exactly 0 unmasked. The col_mask/row_w arguments are still accepted
+    (and ignored) so both variants share a call signature."""
     head_keys = sorted(head_keys)
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
@@ -331,7 +379,7 @@ def make_fused_training_loss(head_keys: List[str],
         cm2 = col_mask.reshape(1, -1)
         rw2 = row_w.reshape(-1, 1)
         loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb,
-                          no_missing)
+                          no_missing, masked)
         return loss, qs, Xp
 
     @jax.custom_vjp
@@ -356,7 +404,7 @@ def make_fused_training_loss(head_keys: List[str],
         p_list = [Ps[hk] for hk in head_keys]
 
         dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
-                                       g_loss, tb, no_missing)
+                                       g_loss, tb, no_missing, masked)
         dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
                for i, hk in enumerate(head_keys)}
         denc, dXp = enc_vjp(dqs)

@@ -92,11 +92,18 @@ def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
 
 def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
                                supervised_loss_weight: float,
-                               use_pallas: bool, no_missing: bool = False):
+                               use_pallas: bool, no_missing: bool = False,
+                               masked: bool = True):
     """Build a (params, xb, row_w, col_mask, pops_b) -> (loss, grads) function
     executed under shard_map on ``mesh``. Input/output shardings:
       xb P(data, snp); row_w/pops_b P(data); col_mask P(snp);
       params/grads per parallel.mesh.param_specs; loss replicated.
+
+    ``masked=False``: the caller proves every batch row is real (the
+    engine's full batches); the fused kernels drop the mask operands. Exact
+    per shard by the same padded-column argument as single-device (the
+    padded SNP columns all live in the last snp shard, whose local P
+    padding is 0 and stays 0).
     """
     n_snp = mesh.shape[SNP_AXIS]
     pspecs = param_specs(params_template)
@@ -105,7 +112,7 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
         from ..ops.fused_step import make_fused_training_loss
         fused_op = make_fused_training_loss(
             sorted(params_template["heads"]), snp_axis=SNP_AXIS,
-            no_missing=no_missing)
+            no_missing=no_missing, masked=masked)
     local = partial(_shard_loss_local, supervised=supervised,
                     supervised_loss_weight=supervised_loss_weight,
                     use_pallas=use_pallas, n_snp=n_snp, fused_op=fused_op)
@@ -145,22 +152,26 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
 
 
 def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
-                    batch: int = 1024):
+                    batch: int = 1024, no_missing: bool = False):
     """Full-data encoder pass with V SNP-sharded (inference needs only the
     psum of X @ V partials; everything after is replicated). ``data_dev`` is
-    tile-major (nT, N, words) when planar, else row-major (N, W)."""
+    tile-major (nT, N, words) when planar, else row-major (N, W). On the
+    tile-major layout the local X @ V partial runs through the fused xv
+    Pallas kernel (no f32 X materialization)."""
     from ..ops.pack import rows_from_tiles
 
     tile_major = planar and data_dev.ndim == 3
 
     def per_device(params, xb):
         if tile_major:
-            X = unpack_dosage_x_planar(rows_from_tiles(xb))
-        elif planar:
-            X = unpack_dosage_x_planar(xb)
+            from ..ops.fused_step import _xv_call
+            from ..ops.fused import pick_tb
+            Xp_loc = _xv_call(xb, params["V"], pick_tb(xb.shape[1]),
+                              no_missing)
         else:
-            X = unpack_dosage_x(xb)
-        Xp = jax.lax.psum(X @ params["V"], SNP_AXIS)
+            X = unpack_dosage_x_planar(xb) if planar else unpack_dosage_x(xb)
+            Xp_loc = X @ params["V"]
+        Xp = jax.lax.psum(Xp_loc, SNP_AXIS)
         return qp.encode_from_xp(params, Xp)
 
     pspecs = param_specs(params)
@@ -176,6 +187,8 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
     from ..train.chunked import chunked_forward
 
     d_sz = mesh.shape[DATA_AXIS]
-    B = max(d_sz, (min(N, batch) // d_sz) * d_sz)
+    # Per-device row blocks must hit the xv kernel's 8-sublane tiling.
+    q = d_sz * 8 if tile_major else d_sz
+    B = max(q, (min(N, batch) // q) * q)
     return chunked_forward(lambda blk: fwd(params, blk), data_dev, N, B,
                            sample_axis=1 if tile_major else 0)

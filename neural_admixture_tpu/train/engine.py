@@ -41,7 +41,7 @@ from ..models import qp
 from ..parallel.mesh import DATA_AXIS, SNP_AXIS, make_mesh, shard_params
 from ..ops import pack as pk
 from ..ops.loss import clamped_bce_sum, softmax_cross_entropy_sum
-from ..ops.pack import unpack_dosage_x, unpack_dosage_x_planar
+from ..ops.pack import unpack_dosage_x
 from ..utils.logger import log, setup_logging
 from ..utils.metrics import fst_table
 
@@ -182,9 +182,10 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     blk = max(1, sample_block)
     if blk > 1:
         # Block sampling: batches are whole blocks of `blk` consecutive
-        # resident rows; the epoch is a permutation of the data-bearing
-        # blocks, split into nb-1 full batches and one remainder batch
-        # (padding blocks ride only in the remainder, with zero weight).
+        # resident rows; the epoch is a permutation of the FULL data blocks,
+        # split into nb-1 full batches and one remainder batch. The partial
+        # data block (N % blk rows + padding) and the all-padding blocks
+        # ride only in the remainder, so full batches are provably all-real.
         b_round, nb, b_rem, want_rows = block_geometry(
             N, batch_size, use_pallas, mesh, blk)
         assert n_rows == want_rows, (n_rows, want_rows)
@@ -195,26 +196,45 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         rem = N - (nb - 1) * batch_size
         b_rem = ((rem + align - 1) // align) * align
 
+    # Full batches contain only real rows: with block sampling the partial
+    # block is routed to the remainder; with per-row sampling the first
+    # (nb-1)*batch_size permutation entries are all < N provided no
+    # alignment padding was added. The unmasked kernel variant is exact for
+    # such batches (see ops.fused_step.make_fused_training_loss); padded SNP
+    # columns need no masking either. NA_TPU_FORCE_MASKED=1 pins the masked
+    # variant everywhere (used by tests to A/B the two programs).
+    import os
+    full_real = ((blk > 1 or b_round == batch_size)
+                 and os.environ.get("NA_TPU_FORCE_MASKED") != "1")
+
+    def _mk_loss_and_grad(masked: bool):
+        if mesh is None:
+            fused_op = None
+            if use_pallas:
+                from ..ops.fused_step import make_fused_training_loss
+                fused_op = make_fused_training_loss(
+                    sorted(params_template["heads"]), no_missing=no_missing,
+                    masked=masked)
+            loss_fn = partial(_loss_fn, supervised=supervised,
+                              supervised_loss_weight=supervised_loss_weight,
+                              use_pallas=use_pallas, fused_op=fused_op)
+
+            def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
+                return jax.value_and_grad(loss_fn)(
+                    params, xb, row_weight, col_mask, pops_b)
+
+            return loss_and_grad
+        from ..parallel.sharded_step import make_sharded_loss_and_grad
+        return make_sharded_loss_and_grad(
+            mesh, params_template, supervised, supervised_loss_weight,
+            use_pallas, no_missing=no_missing, masked=masked)
+
+    lag_masked = _mk_loss_and_grad(True)
+    lag_full = (_mk_loss_and_grad(False) if (use_pallas and full_real)
+                else lag_masked)
     if mesh is None:
-        fused_op = None
-        if use_pallas:
-            from ..ops.fused_step import make_fused_training_loss
-            fused_op = make_fused_training_loss(
-                sorted(params_template["heads"]), no_missing=no_missing)
-        loss_fn = partial(_loss_fn, supervised=supervised,
-                          supervised_loss_weight=supervised_loss_weight,
-                          use_pallas=use_pallas, fused_op=fused_op)
-
-        def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
-            return jax.value_and_grad(loss_fn)(
-                params, xb, row_weight, col_mask, pops_b)
-
         batch_sharding = None
     else:
-        from ..parallel.sharded_step import make_sharded_loss_and_grad
-        loss_and_grad = make_sharded_loss_and_grad(
-            mesh, params_template, supervised, supervised_loss_weight,
-            use_pallas, no_missing=no_missing)
         batch_sharding = NamedSharding(
             mesh, P(SNP_AXIS, DATA_AXIS, None) if use_pallas
             else P(DATA_AXIS, SNP_AXIS))
@@ -223,17 +243,20 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     @partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, packed, col_mask, pops, key):
         if blk > 1:
-            # Permute the data-bearing blocks; full batches take the first
+            # Permute the FULL data blocks; full batches take the first
             # (nb-1) * F of them, the remainder batch takes the rest plus
-            # the all-padding blocks at the top of the resident array.
-            F, R = b_round // blk, b_rem // blk
+            # the partial data block (if N % blk) and the all-padding blocks
+            # at the top of the resident array. (nb-1)*F <= N // blk always:
+            # (nb-1)*b_round = N - rem with rem >= 1 and b_round a multiple
+            # of blk, so (N - rem)/blk <= floor(N/blk).
+            F = b_round // blk
             nblk_res = n_rows // blk
-            nblk_data = -(-N // blk)
-            perm = jax.random.permutation(key, nblk_data)
+            nblk_full = N // blk
+            perm = jax.random.permutation(key, nblk_full)
             idx_full = perm[:(nb - 1) * F].reshape(nb - 1, F)
             idx_rem = jnp.concatenate(
                 [perm[(nb - 1) * F:],
-                 jnp.arange(nblk_data, nblk_res, dtype=perm.dtype)])
+                 jnp.arange(nblk_full, nblk_res, dtype=perm.dtype)])
         else:
             # Per-row sampling: sentinel index N marks padding rows (zero
             # row-weight; gathers clamp to N-1).
@@ -249,7 +272,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             idx_rem = jnp.concatenate(
                 [tail, jnp.full((b_rem - tail.shape[0],), N, perm.dtype)])
 
-        def step(carry, idx_b):
+        def step(carry, idx_b, loss_and_grad):
             params, opt_state = carry
             if blk > 1:
                 # Gather at block granularity: one dynamic-slice per block
@@ -292,12 +315,15 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         carry = (params, opt_state)
         loss_total = jnp.float32(0)
         if nb > 1:
-            carry, losses = jax.lax.scan(step, carry, idx_full)
+            # Full batches are all-real rows -> the unmasked kernel variant.
+            carry, losses = jax.lax.scan(
+                partial(step, loss_and_grad=lag_full), carry, idx_full)
             loss_total = loss_total + jnp.sum(losses)
         # The remainder batch has its own (smaller) static width -- the step
         # traces a second time at b_rem rows, like the reference's short
-        # final DataLoader batch.
-        (params, opt_state), loss_rem = step(carry, idx_rem)
+        # final DataLoader batch -- and carries the padding, so it masks.
+        (params, opt_state), loss_rem = step(carry, idx_rem,
+                                             loss_and_grad=lag_masked)
         return params, opt_state, loss_total + loss_rem
 
     return epoch_fn
@@ -306,12 +332,6 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
 @jax.jit
 def _infer_batch(params, packed_batch):
     X = unpack_dosage_x(packed_batch)
-    return qp.forward_infer(params, X)
-
-
-@jax.jit
-def _infer_batch_planar(params, tiles_batch):
-    X = unpack_dosage_x_planar(pk.rows_from_tiles(tiles_batch))
     return qp.forward_infer(params, X)
 
 
@@ -472,6 +492,7 @@ class NeuralAdmixtureTrainer:
         # code-3 genotypes, the kernels skip the missing->0 select entirely
         # (~2 of ~6 VPU ops per genotype in the unpack).
         no_missing = use_pallas and not pk.packed_has_missing(packed_np)
+        self._no_missing = no_missing
         mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,
                      mesh=mesh, params_template=params,
@@ -711,16 +732,25 @@ class NeuralAdmixtureTrainer:
     def _infer_q(self, params, data_dev, N: int, planar: bool,
                  mesh=None) -> List[np.ndarray]:
         """Sequential full-data encoder pass at batch <= 1024
-        (reference: model/neural_admixture.py:368-383)."""
+        (reference: model/neural_admixture.py:368-383). On the Pallas
+        (tile-major) layout the pass runs through the fused xv kernel
+        (ops.fused_step.fused_infer_q) so X never materializes in f32."""
+        no_missing = getattr(self, "_no_missing", False)
         if mesh is not None:
             from ..parallel.sharded_step import infer_q_sharded
             qs = infer_q_sharded(mesh, params, data_dev, N, planar,
-                                 INFER_BATCH)
+                                 INFER_BATCH, no_missing=no_missing)
             return [qs[f"k{k}"] for k in self.ks]
         from .chunked import chunked_forward
-        fwd = _infer_batch_planar if planar else _infer_batch
-        qs = chunked_forward(lambda blk: fwd(params, blk), data_dev, N,
-                             min(N, INFER_BATCH),
+        if planar:
+            from ..ops.fused_step import fused_infer_q
+            fwd = jax.jit(partial(fused_infer_q, no_missing=no_missing))
+            # The xv kernel tiles batch rows in sublane groups of 8.
+            B = -(-min(N, INFER_BATCH) // 8) * 8
+        else:
+            fwd = _infer_batch
+            B = min(N, INFER_BATCH)
+        qs = chunked_forward(lambda blk: fwd(params, blk), data_dev, N, B,
                              sample_axis=1 if data_dev.ndim == 3 else 0)
         return [qs[f"k{k}"] for k in self.ks]
 
