@@ -58,10 +58,11 @@ def bench_jax():
     use_pallas = (jax.default_backend() in ("tpu", "axon")
                   if pallas_env is None else pallas_env == "1")
 
-    # Measured on v5e (2026-08-17) with the dynamic-slice block gather:
-    # blk=1 56.8k, blk=16 60.8k, blk=32 61.1k samples/s. 16 matches the
-    # production CLI default (demo convergence proven indistinguishable;
-    # tools/convergence_bench.py NA_CONV_BLOCK).
+    # Measured on v5e (2026-08-17, post wide-tb xv/dv): gathered blk=16
+    # 93.1k samples/s; the opt-in gather-free indexed path (NA_TPU_INDEXED=1)
+    # measured SLOWER (72.6k blk=16 / 82.5k blk=32 -- see PARITY.md). 16
+    # matches the production CLI default (demo convergence proven
+    # indistinguishable; tools/convergence_bench.py NA_CONV_BLOCK).
     blk = int(os.environ.get("NA_BENCH_BLOCK", 16))
     packed, m_pad = make_synthetic_packed(N, M, K)
     rng = np.random.default_rng(1)

@@ -57,6 +57,23 @@ def pick_tb(B: int) -> int:
         "pad the batch to a multiple of 8")
 
 
+def pick_tb_wide(B: int) -> int:
+    """Largest divisor of B that is a multiple of 8 and <= 1024.
+
+    For the row-local xv/dv kernels: per-pass cost on v5e is dominated by
+    a ~0.4-0.5 us fixed cost per grid step (tools/tune_gather4.py:
+    gather+xv 1.86/1.64/1.57 ms at tb 200/400/800), so the light passes
+    want the fewest, largest batch tiles the VMEM allows ((1, 1024, TW)
+    u32 + (1, D, 1024) f32 blocks are ~0.5 MB). The heavy dq_dp/loss
+    kernels keep pick_tb's 256 cap (draw-buffer register pressure)."""
+    for tb in range(min(B, 1024), 7, -1):
+        if tb % 8 == 0 and B % tb == 0:
+            return tb
+    raise ValueError(
+        f"batch size {B} has no divisor that is a multiple of 8; "
+        "pad the batch to a multiple of 8")
+
+
 def _unpack_x(u32_tile, no_missing: bool = False):
     """(TB, TW) uint32 -> (TB, TM) f32 dosage/2, missing -> 0 (planar order).
 
@@ -111,12 +128,16 @@ def _use_fast_recip() -> bool:
     return not _interpret()
 
 
-def _draw_tile(q, p, x, mask_rw):
+def _draw_tile(q, p, x, mask_rw, with_loss=False):
     """d(loss)/d(raw) for one tile (torch BCE+clamp backward).
 
     ``mask_rw=None`` skips the mask multiply (all-real batches): padded SNP
     columns have raw = rec = x = 0, so (rec - x) = 0 makes the draw exactly 0
-    there without masking."""
+    there without masking.
+
+    ``with_loss=True`` additionally returns the elementwise BCE loss (the
+    decode matmul and clamp are computed once for both) -- the merged
+    loss+dq+dp kernel for logged epochs; returns (draw, elem)."""
     raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     denom = jnp.maximum(rec * (1.0 - rec), _GRAD_EPS)
@@ -129,4 +150,11 @@ def _draw_tile(q, p, x, mask_rw):
     draw = jnp.where(raw == rec, drec, 0.0)
     if mask_rw is not None:
         draw = draw * mask_rw
-    return draw
+    if not with_loss:
+        return draw
+    logr = jnp.maximum(jnp.log(rec), _LOG_CLAMP)
+    log1mr = jnp.maximum(jnp.log1p(-rec), _LOG_CLAMP)
+    elem = -(x * logr + (1.0 - x) * log1mr)
+    if mask_rw is not None:
+        elem = elem * mask_rw
+    return draw, elem

@@ -31,6 +31,17 @@ in through the qs cotangent. Gradient semantics match ops.loss exactly
 ``snp_axis``: when set (shard_map execution), psums are inserted at the two
 mathematically required points: the Xp partial sums in forward and the dXp
 cotangent in backward.
+
+``indexed_blk``: gather-free batching. The op takes the full RESIDENT
+(nT, R, TW) array plus a (nbk,) vector of block ids (units of
+``indexed_blk`` rows -- exactly what the engine's block sampling draws)
+and every kernel reads its sampled (1, blk, TW) u32 blocks straight from
+the resident array through scalar-prefetch index maps
+(PrefetchScalarGridSpec). Materializing the gathered batch costs ~1.7
+ms/step at B=800 x 1M SNPs on v5e -- even for a contiguous slice -- all
+of it the XLA copy itself (tools/tune_gather2.py); reading at the sampled
+offsets inside the kernels removes that copy entirely
+(tools/tune_gather3.py).
 """
 from functools import partial
 from typing import Dict, List, Optional
@@ -42,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models import qp
 from .fused import (TM, TW, _draw_tile, _bce_terms, _interpret, _unpack_x,
-                    pick_tb)
+                    pick_tb, pick_tb_wide)
 
 
 def _encoder_apply(enc_params, Xp, head_keys: List[str]):
@@ -53,7 +64,19 @@ def _encoder_apply(enc_params, Xp, head_keys: List[str]):
 # --------------------------- pallas kernels --------------------------------
 
 
-def _xv_kernel(no_missing):
+def _unpack_cat(u_refs, no_missing):
+    """Unpack g_ops (1, tb, TW) u32 blocks into one (g_ops*tb, TM) x.
+
+    Indexed (gather-free) calls DMA ``g_ops`` scattered sample blocks per
+    grid step; concatenating on sublanes reproduces exactly the rows a
+    gathered (g_ops*tb)-row tile would hold, so the per-tile math (and its
+    float accumulation order) is identical to the gathered program at
+    tb_eff = g_ops * tb."""
+    xs = [_unpack_x(u[0], no_missing) for u in u_refs]
+    return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
+
+
+def _xv_kernel(no_missing, g_ops=1):
     """Xp^T = (X @ V)^T accumulated over M tiles, as (nB, D, tb) row blocks.
 
     Transposed output: a (tb, D) block with D=8 uses 8 of 128 lanes of every
@@ -67,35 +90,39 @@ def _xv_kernel(no_missing):
     measured 7.21 -> 4.15 ms/call isolated on v5e @1M SNPs, bit-exact
     (tools/tune_matmul_forms.py). The one (m_pad, D) -> (D, m_pad) XLA
     transpose per step outside costs ~0.15 ms of HBM traffic."""
-    def kernel(u_ref, vt_ref, out_ref):
+    def kernel(*refs):
+        u_refs = refs[:g_ops]
+        vt_ref, out_ref = refs[g_ops:]
+
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
-        x = _unpack_x(u_ref[0], no_missing)
+        x = _unpack_cat(u_refs, no_missing)
         out_ref[0] += jax.lax.dot_general(
             vt_ref[:], x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     return kernel
 
 
-def _loss_kernel(n_heads, no_missing, masked=True):
+def _loss_kernel(n_heads, no_missing, masked=True, g_ops=1):
     """``masked=False`` (all-real batches, see make_fused_training_loss)
     drops the cm/rw operands and the two mask multiplies per genotype."""
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
+        u_refs = refs[2 * n_heads:2 * n_heads + g_ops]
         if masked:
-            u_ref, cm_ref, rw_ref, out_ref = refs[2 * n_heads:]
+            cm_ref, rw_ref, out_ref = refs[2 * n_heads + g_ops:]
             mask_rw = cm_ref[:] * rw_ref[:]
         else:
-            u_ref, out_ref = refs[2 * n_heads:]
+            out_ref, = refs[2 * n_heads + g_ops:]
             mask_rw = None
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
         def _():
             out_ref[0, 0] = 0.0
 
-        x = _unpack_x(u_ref[0], no_missing)
+        x = _unpack_cat(u_refs, no_missing)
         total = 0.0
         for q_ref, p_ref in zip(q_refs, p_refs):
             _, _, elem = _bce_terms(q_ref[:], p_ref[:], x, mask_rw)
@@ -104,7 +131,7 @@ def _loss_kernel(n_heads, no_missing, masked=True):
     return kernel
 
 
-def _dq_dp_kernel(n_heads, no_missing, masked=True):
+def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
     """Merged pass 2: dq AND dp for all heads from ONE packed read.
 
     The expensive per-tile ``draw`` (decode matmul + BCE/clamp backward
@@ -118,20 +145,22 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True):
     def kernel(*refs):
         q_refs = refs[:n_heads]
         p_refs = refs[n_heads:2 * n_heads]
+        u_refs = refs[2 * n_heads:2 * n_heads + g_ops]
+        rest = refs[2 * n_heads + g_ops:]
         if masked:
-            u_ref, cm_ref, rw_ref, g_ref = refs[2 * n_heads:2 * n_heads + 4]
+            cm_ref, rw_ref, g_ref = rest[:3]
             mask_rw = cm_ref[:] * rw_ref[:]
-            dq_refs = refs[2 * n_heads + 4:3 * n_heads + 4]
-            dp_refs = refs[3 * n_heads + 4:]
+            dq_refs = rest[3:3 + n_heads]
+            dp_refs = rest[3 + n_heads:]
         else:
-            u_ref, g_ref = refs[2 * n_heads:2 * n_heads + 2]
+            g_ref = rest[0]
             mask_rw = None
-            dq_refs = refs[2 * n_heads + 2:3 * n_heads + 2]
-            dp_refs = refs[3 * n_heads + 2:]
+            dq_refs = rest[1:1 + n_heads]
+            dp_refs = rest[1 + n_heads:]
         j = pl.program_id(0)  # M tile (outer)
         i = pl.program_id(1)  # B tile (inner)
 
-        x = _unpack_x(u_ref[0], no_missing)
+        x = _unpack_cat(u_refs, no_missing)
         g = g_ref[0, 0]
         for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
                                                 dp_refs):
@@ -167,18 +196,81 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True):
     return kernel
 
 
-def _dvt_kernel(no_missing):
+def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
+    """Merged loss + dq + dp: the logged-epoch forward-with-gradients pass.
+
+    On epochs whose loss is logged the engine needs the BCE value AND its
+    gradients at the same parameters; the separate loss kernel re-reads
+    the packed batch and recomputes the decode matmul that the dq_dp
+    kernel already evaluates. Emitting the loss from the dq_dp kernel
+    (computed UNSCALED -- the caller applies the loss cotangent outside)
+    drops logged epochs from 4 packed passes to 3, the same count as
+    unlogged ones. Output order: (loss, dq..., dp...)."""
+    def kernel(*refs):
+        q_refs = refs[:n_heads]
+        p_refs = refs[n_heads:2 * n_heads]
+        u_refs = refs[2 * n_heads:2 * n_heads + g_ops]
+        rest = refs[2 * n_heads + g_ops:]
+        if masked:
+            cm_ref, rw_ref = rest[:2]
+            mask_rw = cm_ref[:] * rw_ref[:]
+            rest = rest[2:]
+        else:
+            mask_rw = None
+        loss_ref = rest[0]
+        dq_refs = rest[1:1 + n_heads]
+        dp_refs = rest[1 + n_heads:]
+        j = pl.program_id(0)  # M tile (outer)
+        i = pl.program_id(1)  # B tile (inner)
+
+        @pl.when(jnp.logical_and(j == 0, i == 0))
+        def _():
+            loss_ref[0, 0] = 0.0
+
+        x = _unpack_cat(u_refs, no_missing)
+        total = 0.0
+        for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
+                                                dp_refs):
+            q = q_ref[:]
+            draw, elem = _draw_tile(q, p_ref[:], x, mask_rw, with_loss=True)
+            total += jnp.sum(elem)
+            dqt_blk = jax.lax.dot_general(
+                p_ref[:], draw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(j == 0)
+            def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
+                dq_ref[i] = dqt_blk
+
+            @pl.when(j > 0)
+            def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
+                dq_ref[i] += dqt_blk
+
+            @pl.when(i == 0)
+            def _(dp_ref=dp_ref):
+                dp_ref[:] = jnp.zeros_like(dp_ref)
+            dp_ref[:] += jax.lax.dot_general(
+                q, draw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        loss_ref[0, 0] += total
+    return kernel
+
+
+def _dvt_kernel(no_missing, g_ops=1):
     """Pass 3: dV^T = dXp^T X. Separate from pass 2 because dXp is the
     encoder VJP of pass 2's dq -- a true sequential dependency.
 
     Computed TRANSPOSED: a (TM, D) block with D=8 uses 8 of 128 lanes of
     every register and store; the (D, TM) layout is dense. The caller
     transposes the small (D, m_pad) result once outside."""
-    def kernel(u_ref, dxp_ref, dvt_ref):
+    def kernel(*refs):
+        u_refs = refs[:g_ops]
+        dxp_ref, dvt_ref = refs[g_ops:]
+
         @pl.when(pl.program_id(1) == 0)
         def _():
             dvt_ref[:] = jnp.zeros_like(dvt_ref)
-        x = _unpack_x(u_ref[0], no_missing)
+        x = _unpack_cat(u_refs, no_missing)
         dvt_ref[:] += jax.lax.dot_general(
             dxp_ref[:], x, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -189,115 +281,199 @@ def _dvt_kernel(no_missing):
 
 
 def _q_specs(ks, tb, order="bm"):
+    # index maps take *_ so the same specs serve the scalar-prefetch
+    # (indexed) calls, whose maps are passed the block-id ref as a
+    # trailing argument.
     if order == "bm":
-        return [pl.BlockSpec((tb, k), lambda i, j: (i, 0),
+        return [pl.BlockSpec((tb, k), lambda i, j, *_: (i, 0),
                              memory_space=pltpu.VMEM) for k in ks]
-    return [pl.BlockSpec((tb, k), lambda j, i: (i, 0),
+    return [pl.BlockSpec((tb, k), lambda j, i, *_: (i, 0),
                          memory_space=pltpu.VMEM) for k in ks]
 
 
 def _p_specs(ks, order="bm"):
     if order == "bm":
-        return [pl.BlockSpec((k, TM), lambda i, j: (0, j),
+        return [pl.BlockSpec((k, TM), lambda i, j, *_: (0, j),
                              memory_space=pltpu.VMEM) for k in ks]
-    return [pl.BlockSpec((k, TM), lambda j, i: (0, j),
+    return [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
                          memory_space=pltpu.VMEM) for k in ks]
 
 
-def _common_specs(tb, order="bm", masked=True):
-    """Specs for (tiles[, col_mask, row_weight]). The packed batch is
-    tile-major (nT, B, TW): each (1, tb, TW) block is one contiguous DMA
-    (row-major (B, W4) layout reads 512-byte strided strips, which caps HBM
-    efficiency at ~8%% -- measured in tools/tune_unpack.py). With
-    ``masked=False`` the mask operands are not passed at all."""
+INDEXED_TB_CAP = 256
+
+
+def pick_g(nbk: int, blk: int, cap: int = INDEXED_TB_CAP) -> int:
+    """Sampled blocks DMA'd per grid step in indexed (gather-free) mode.
+
+    Per-pass cost on v5e is dominated by a ~0.4-0.5 us fixed cost per grid
+    step plus a small per-DMA cost (tools/tune_gather3/4.py: 8.10 / 2.27 /
+    1.38 ms at 24450 / 5868 / 2934 steps), so reading G blocks per step
+    (one (g*blk)-row tile's worth) recovers the gathered program's
+    grid-step count without materializing the gathered batch. G is the
+    largest divisor of nbk with g*blk <= cap (VMEM/regalloc bound)."""
+    best = 1
+    for g in range(1, nbk + 1):
+        if nbk % g == 0 and g * blk <= cap:
+            best = g
+    return best
+
+
+def _u32_specs(tb, order="bm", indexed=False, g_ops=1):
+    """The packed-batch operand specs (g_ops of them when indexed).
+
+    Plain mode: the gathered TILE-MAJOR (nT, B, TW) batch, each
+    (1, tb, TW) block one contiguous DMA (row-major (B, W4) layout reads
+    512-byte strided strips, capping HBM efficiency at ~8%% -- measured in
+    tools/tune_unpack.py). Indexed mode: the RESIDENT (nT, R, TW) array
+    passed g_ops times; batch grid position i DMAs row-blocks
+    idx[i*g_ops + m] (tb == sample_block, block-aligned), which the kernel
+    concatenates into one (g_ops*tb)-row tile."""
+    if indexed:
+        if order == "bm":
+            return [pl.BlockSpec(
+                (1, tb, TW),
+                (lambda i, j, idx, m=m: (j, idx[i * g_ops + m], 0)),
+                memory_space=pltpu.VMEM) for m in range(g_ops)]
+        return [pl.BlockSpec(
+            (1, tb, TW),
+            (lambda j, i, idx, m=m: (j, idx[i * g_ops + m], 0)),
+            memory_space=pltpu.VMEM) for m in range(g_ops)]
     if order == "bm":
-        specs = [
-            pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ]
-    else:
-        specs = [
-            pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        ]
-    return specs if masked else specs[:1]
+        return [pl.BlockSpec((1, tb, TW), lambda i, j, *_: (j, i, 0),
+                             memory_space=pltpu.VMEM)]
+    return [pl.BlockSpec((1, tb, TW), lambda j, i, *_: (j, i, 0),
+                         memory_space=pltpu.VMEM)]
 
 
-def _xv_call(u32, V, tb, no_missing=False):
-    B = u32.shape[1]
+def _mask_specs(tb, order="bm"):
+    """Specs for (col_mask, row_weight) -- masked variant only."""
+    if order == "bm":
+        return [
+            pl.BlockSpec((1, TM), lambda i, j, *_: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, j, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    return [
+        pl.BlockSpec((1, TM), lambda j, i, *_: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, 1), lambda j, i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _maybe_indexed_call(kernel, grid, in_specs, out_specs, out_shape,
+                        cost_estimate, blk_idx):
+    """pallas_call dispatcher: plain grid, or scalar-prefetch with the
+    (nbk,) block-id vector prepended as operand 0 (kernels take *refs or
+    are wrapped, so the extra leading idx_ref is absorbed uniformly)."""
+    if blk_idx is None:
+        return pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, cost_estimate=cost_estimate,
+            interpret=_interpret())
+
+    def kernel_idx(idx_ref, *refs):
+        return kernel(*refs)
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=out_specs)
+    call = pl.pallas_call(kernel_idx, grid_spec=spec, out_shape=out_shape,
+                          cost_estimate=cost_estimate,
+                          interpret=_interpret())
+    return lambda *ops: call(blk_idx, *ops)
+
+
+def _batch_geom(u32, tb, blk_idx):
+    """(nB grid steps, tb_eff rows per step, g_ops, B rows, u32 operands).
+
+    Plain mode: one contiguous (tb)-row block per step. Indexed: g =
+    pick_g(nbk, blk) sampled blocks of ``tb`` rows per step."""
+    if blk_idx is None:
+        B = u32.shape[1]
+        return B // tb, tb, 1, B, (u32,)
+    nbk = blk_idx.shape[0]
+    g = pick_g(nbk, tb)
+    return nbk // g, tb * g, g, nbk * tb, (u32,) * g
+
+
+def _xv_call(u32, V, tb, no_missing=False, blk_idx=None):
+    nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad, D = V.shape
     vt = V.T  # dense (D, TM) operand blocks; see _xv_kernel docstring
-    xpt = pl.pallas_call(
-        _xv_kernel(no_missing),
-        grid=(B // tb, m_pad // TM),
-        in_specs=[
-            pl.BlockSpec((1, tb, TW), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, TM), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, D, tb), lambda i, j: (i, 0, 0),
+    xpt = _maybe_indexed_call(
+        _xv_kernel(no_missing, g),
+        grid=(nB, m_pad // TM),
+        in_specs=(_u32_specs(tb, "bm", blk_idx is not None, g)
+                  + [pl.BlockSpec((D, TM), lambda i, j, *_: (0, j),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((1, D, tbe), lambda i, j, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B // tb, D, tb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nB, D, tbe), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
-        interpret=_interpret(),
-    )(u32, vt)
+        blk_idx=blk_idx,
+    )(*u_ops, vt)
     return xpt.transpose(0, 2, 1).reshape(B, D)
 
 
-def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True):
+def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True,
+               blk_idx=None):
     ks = [q.shape[1] for q in qs]
-    B = u32.shape[1]
+    nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
-    operands = (*qs, *Ps, u32, cm2, rw2) if masked else (*qs, *Ps, u32)
-    out = pl.pallas_call(
-        _loss_kernel(len(ks), no_missing, masked),
-        grid=(B // tb, m_pad // TM),
-        in_specs=(_q_specs(ks, tb) + _p_specs(ks)
-                  + _common_specs(tb, masked=masked)),
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+    operands = ((*qs, *Ps, *u_ops, cm2, rw2) if masked
+                else (*qs, *Ps, *u_ops))
+    out = _maybe_indexed_call(
+        _loss_kernel(len(ks), no_missing, masked, g),
+        grid=(nB, m_pad // TM),
+        in_specs=(_q_specs(ks, tbe)
+                  + _p_specs(ks)
+                  + _u32_specs(tb, "bm", blk_idx is not None, g)
+                  + (_mask_specs(tbe) if masked else [])),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j, *_: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=B * m_pad * (2 * sum(ks) + 8 * len(ks)),
             bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
-        interpret=_interpret(),
+        blk_idx=blk_idx,
     )(*operands)
     return out[0, 0]
 
 
-def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True):
+def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True,
+                blk_idx=None):
     ks = [q.shape[1] for q in qs]
-    B = u32.shape[1]
+    nB, tbe, g_ops, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
-    operands = ((*qs, *Ps, u32, cm2, rw2, g2) if masked
-                else (*qs, *Ps, u32, g2))
-    outs = pl.pallas_call(
-        _dq_dp_kernel(len(ks), no_missing, masked),
-        grid=(m_pad // TM, B // tb),
-        in_specs=(_q_specs(ks, tb, "mb") + _p_specs(ks, "mb")
-                  + _common_specs(tb, "mb", masked=masked)
-                  + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+    operands = ((*qs, *Ps, *u_ops, cm2, rw2, g2) if masked
+                else (*qs, *Ps, *u_ops, g2))
+    outs = _maybe_indexed_call(
+        _dq_dp_kernel(len(ks), no_missing, masked, g_ops),
+        grid=(m_pad // TM, nB),
+        in_specs=(_q_specs(ks, tbe, "mb")
+                  + _p_specs(ks, "mb")
+                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops)
+                  + (_mask_specs(tbe, "mb") if masked else [])
+                  + [pl.BlockSpec((1, 1), lambda j, i, *_: (0, 0),
                                   memory_space=pltpu.SMEM)]),
-        out_specs=([pl.BlockSpec((B // tb, k, tb), lambda j, i: (0, 0, 0),
+        out_specs=([pl.BlockSpec((nB, k, tbe), lambda j, i, *_: (0, 0, 0),
                                  memory_space=pltpu.VMEM) for k in ks]
-                   + [pl.BlockSpec((k, TM), lambda j, i: (0, j),
+                   + [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
                                    memory_space=pltpu.VMEM) for k in ks]),
-        out_shape=([jax.ShapeDtypeStruct((B // tb, k, tb), jnp.float32)
+        out_shape=([jax.ShapeDtypeStruct((nB, k, tbe), jnp.float32)
                     for k in ks]
                    + [jax.ShapeDtypeStruct((k, m_pad), jnp.float32)
                       for k in ks]),
         cost_estimate=pl.CostEstimate(
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=0),
-        interpret=_interpret(),
+        blk_idx=blk_idx,
     )(*operands)
     ks_n = len(ks)
     dqs = [o.transpose(0, 2, 1).reshape(B, k)
@@ -305,27 +481,63 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True):
     return dqs, outs[ks_n:]
 
 
-def _dv_call(u32, dXp, tb, no_missing=False):
-    B = u32.shape[1]
+def _loss_dq_dp_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False,
+                     masked=True, blk_idx=None):
+    """(loss_sum, dqs, dps) in one packed read; dq/dp are UNSCALED (loss
+    cotangent applied by the caller). See _loss_dq_dp_kernel."""
+    ks = [q.shape[1] for q in qs]
+    nB, tbe, g_ops, B, u_ops = _batch_geom(u32, tb, blk_idx)
+    m_pad = u32.shape[0] * TM
+    operands = ((*qs, *Ps, *u_ops, cm2, rw2) if masked
+                else (*qs, *Ps, *u_ops))
+    outs = _maybe_indexed_call(
+        _loss_dq_dp_kernel(len(ks), no_missing, masked, g_ops),
+        grid=(m_pad // TM, nB),
+        in_specs=(_q_specs(ks, tbe, "mb")
+                  + _p_specs(ks, "mb")
+                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops)
+                  + (_mask_specs(tbe, "mb") if masked else [])),
+        out_specs=([pl.BlockSpec((1, 1), lambda j, i, *_: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+                   + [pl.BlockSpec((nB, k, tbe), lambda j, i, *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM) for k in ks]
+                   + [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
+                                   memory_space=pltpu.VMEM) for k in ks]),
+        out_shape=([jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+                   + [jax.ShapeDtypeStruct((nB, k, tbe), jnp.float32)
+                      for k in ks]
+                   + [jax.ShapeDtypeStruct((k, m_pad), jnp.float32)
+                      for k in ks]),
+        cost_estimate=pl.CostEstimate(
+            flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
+            transcendentals=2 * B * m_pad * len(ks)),
+        blk_idx=blk_idx,
+    )(*operands)
+    ks_n = len(ks)
+    loss = outs[0][0, 0]
+    dqs = [o.transpose(0, 2, 1).reshape(B, k)
+           for o, k in zip(outs[1:1 + ks_n], ks)]
+    return loss, dqs, outs[1 + ks_n:]
+
+
+def _dv_call(u32, dXp, tb, no_missing=False, blk_idx=None):
+    nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
     D = dXp.shape[1]
-    dvt = pl.pallas_call(
-        _dvt_kernel(no_missing),
-        grid=(m_pad // TM, B // tb),
-        in_specs=[
-            pl.BlockSpec((1, tb, TW), lambda j, i: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, D), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((D, TM), lambda j, i: (0, j),
+    dvt = _maybe_indexed_call(
+        _dvt_kernel(no_missing, g),
+        grid=(m_pad // TM, nB),
+        in_specs=(_u32_specs(tb, "mb", blk_idx is not None, g)
+                  + [pl.BlockSpec((tbe, D), lambda j, i, *_: (i, 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((D, TM), lambda j, i, *_: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
-        interpret=_interpret(),
-    )(u32, dXp)
+        blk_idx=blk_idx,
+    )(*u_ops, dXp)
     return dvt.T
 
 
@@ -340,7 +552,7 @@ def fused_infer_q(params: Dict, tiles_batch, no_missing: bool = False
     traffic at biobank M. Backs the engine's post-training Q pass and the
     projective-inference CLI (reference: encoder-only batched forward,
     /root/reference/neural_admixture/src/inference.py:67-77)."""
-    tb = pick_tb(tiles_batch.shape[1])
+    tb = pick_tb_wide(tiles_batch.shape[1])
     Xp = _xv_call(tiles_batch, params["V"], tb, no_missing)
     return qp.encode_from_xp(params, Xp)
 
@@ -351,7 +563,8 @@ def fused_infer_q(params: Dict, tiles_batch, no_missing: bool = False
 def make_fused_training_loss(head_keys: List[str],
                              snp_axis: Optional[str] = None,
                              no_missing: bool = False,
-                             masked: bool = True):
+                             masked: bool = True,
+                             merged_loss: bool = False):
     """Build the (V, enc_params, Ps, u32, col_mask, row_w) ->
     (bce_loss_sum, qs) op with the 3-pass custom VJP described above.
 
@@ -365,46 +578,70 @@ def make_fused_training_loss(head_keys: List[str],
     by (a)+(b), Adam maps zero moments + zero grad to a zero update, and
     the [0,1] clamp fixes 0) -- so every padded-column loss/draw term is
     exactly 0 unmasked. The col_mask/row_w arguments are still accepted
-    (and ignored) so both variants share a call signature."""
+    (and ignored) so both variants share a call signature.
+
+    ``merged_loss=True`` is the LOGGED-epoch program: the forward runs the
+    merged loss+dq+dp kernel (the loss is a byproduct of the draw the
+    backward needs anyway) and stashes the unscaled dq/dp as residuals, so
+    a value_and_grad step costs 3 packed passes instead of 4. Gradients
+    are bit-identical to the split program when the loss cotangent is 1.0
+    (the engine's case); only the loss value's accumulation order changes
+    (grid (nM, nB) instead of (nB, nM)). Do NOT use it for unlogged
+    epochs: its loss computation cannot be dead-code-eliminated."""
     head_keys = sorted(head_keys)
+
+    def _pack_masks(col_mask, row_w):
+        return col_mask.reshape(1, -1), row_w.reshape(-1, 1)
+
+    def _encode(V, enc_params, u32):
+        Xp = _xv_call(u32, V, pick_tb_wide(u32.shape[1]), no_missing)
+        if snp_axis is not None:
+            Xp = jax.lax.psum(Xp, snp_axis)
+        return _encoder_apply(enc_params, Xp, head_keys), Xp
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
         tb = pick_tb(u32.shape[1])
-        Xp = _xv_call(u32, V, tb, no_missing)
-        if snp_axis is not None:
-            Xp = jax.lax.psum(Xp, snp_axis)
-        qs = _encoder_apply(enc_params, Xp, head_keys)
+        qs, Xp = _encode(V, enc_params, u32)
         q_list = [qs[hk] for hk in head_keys]
         p_list = [Ps[hk] for hk in head_keys]
-        cm2 = col_mask.reshape(1, -1)
-        rw2 = row_w.reshape(-1, 1)
+        cm2, rw2 = _pack_masks(col_mask, row_w)
+        if merged_loss:
+            loss, dq_list, dp_list = _loss_dq_dp_call(
+                q_list, p_list, u32, cm2, rw2, tb, no_missing, masked)
+            return loss, qs, Xp, dq_list, dp_list
         loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb,
                           no_missing, masked)
-        return loss, qs, Xp
+        return loss, qs, Xp, None, None
 
     @jax.custom_vjp
     def fused_training_loss(V, enc_params, Ps, u32, col_mask, row_w):
-        loss, qs, _ = _forward(V, enc_params, Ps, u32, col_mask, row_w)
+        loss, qs, *_ = _forward(V, enc_params, Ps, u32, col_mask, row_w)
         return loss, qs
 
     def fwd(V, enc_params, Ps, u32, col_mask, row_w):
-        loss, qs, Xp = _forward(V, enc_params, Ps, u32, col_mask, row_w)
-        return (loss, qs), (enc_params, Ps, u32, col_mask, row_w, Xp)
+        loss, qs, Xp, dq_list, dp_list = _forward(
+            V, enc_params, Ps, u32, col_mask, row_w)
+        return (loss, qs), (enc_params, Ps, u32, col_mask, row_w, Xp,
+                            dq_list, dp_list)
 
     def bwd(res, cts):
         g_loss, g_qs = cts
-        enc_params, Ps, u32, col_mask, row_w, Xp = res
+        enc_params, Ps, u32, col_mask, row_w, Xp, dq_list, dp_list = res
         tb = pick_tb(u32.shape[1])
-        cm2 = col_mask.reshape(1, -1)
-        rw2 = row_w.reshape(-1, 1)
 
         qs, enc_vjp = jax.vjp(
             lambda ep, xp: _encoder_apply(ep, xp, head_keys), enc_params, Xp)
-        q_list = [qs[hk] for hk in head_keys]
-        p_list = [Ps[hk] for hk in head_keys]
 
-        dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
-                                       g_loss, tb, no_missing, masked)
+        if not merged_loss:
+            cm2, rw2 = _pack_masks(col_mask, row_w)
+            q_list = [qs[hk] for hk in head_keys]
+            p_list = [Ps[hk] for hk in head_keys]
+            dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
+                                           g_loss, tb, no_missing, masked)
+            dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
+        else:
+            dPs = {hk: dp_list[i] * g_loss
+                   for i, hk in enumerate(head_keys)}
         dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
                for i, hk in enumerate(head_keys)}
         denc, dXp = enc_vjp(dqs)
@@ -413,9 +650,78 @@ def make_fused_training_loss(head_keys: List[str],
             # shards that consumed the replicated psum result.
             dXp = jax.lax.psum(dXp, snp_axis)
 
-        dV = _dv_call(u32, dXp, tb, no_missing)
-        dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
+        dV = _dv_call(u32, dXp, pick_tb_wide(u32.shape[1]), no_missing)
         return (dV, denc, dPs, None, None, None)
 
     fused_training_loss.defvjp(fwd, bwd)
     return fused_training_loss
+
+
+def make_indexed_training_loss(head_keys: List[str], blk: int,
+                               no_missing: bool = False,
+                               merged_loss: bool = False):
+    """Gather-free variant of make_fused_training_loss (single-device path).
+
+    Signature: (V, enc_params, Ps, resident_u32, blk_idx) -> (loss, qs)
+    where resident_u32 is the full tile-major (nT, R, TW) array and
+    blk_idx a (nbk,) int32 vector of sampled ``blk``-row block ids. Every
+    pass reads its batch blocks straight from the resident array via
+    scalar-prefetch index maps -- the gathered batch is never
+    materialized. Only for provably all-real batches (the engine's FULL
+    batches): kernels run unmasked (see make_fused_training_loss's
+    exactness argument; blocks are drawn from the first N rows only, so
+    no padding rows appear)."""
+    head_keys = sorted(head_keys)
+    blk = int(blk)
+
+    def _forward(V, enc_params, Ps: Dict, u32, blk_idx):
+        Xp = _xv_call(u32, V, blk, no_missing, blk_idx=blk_idx)
+        qs = _encoder_apply(enc_params, Xp, head_keys)
+        q_list = [qs[hk] for hk in head_keys]
+        p_list = [Ps[hk] for hk in head_keys]
+        if merged_loss:
+            loss, dq_list, dp_list = _loss_dq_dp_call(
+                q_list, p_list, u32, None, None, blk, no_missing,
+                masked=False, blk_idx=blk_idx)
+            return loss, qs, Xp, dq_list, dp_list
+        loss = _loss_call(q_list, p_list, u32, None, None, blk,
+                          no_missing, masked=False, blk_idx=blk_idx)
+        return loss, qs, Xp, None, None
+
+    @jax.custom_vjp
+    def indexed_training_loss(V, enc_params, Ps, u32, blk_idx):
+        loss, qs, *_ = _forward(V, enc_params, Ps, u32, blk_idx)
+        return loss, qs
+
+    def fwd(V, enc_params, Ps, u32, blk_idx):
+        loss, qs, Xp, dq_list, dp_list = _forward(
+            V, enc_params, Ps, u32, blk_idx)
+        return (loss, qs), (enc_params, Ps, u32, blk_idx, Xp,
+                            dq_list, dp_list)
+
+    def bwd(res, cts):
+        g_loss, g_qs = cts
+        enc_params, Ps, u32, blk_idx, Xp, dq_list, dp_list = res
+
+        qs, enc_vjp = jax.vjp(
+            lambda ep, xp: _encoder_apply(ep, xp, head_keys), enc_params, Xp)
+
+        if not merged_loss:
+            q_list = [qs[hk] for hk in head_keys]
+            p_list = [Ps[hk] for hk in head_keys]
+            dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, None, None,
+                                           g_loss, blk, no_missing,
+                                           masked=False, blk_idx=blk_idx)
+            dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
+        else:
+            dPs = {hk: dp_list[i] * g_loss
+                   for i, hk in enumerate(head_keys)}
+        dqs = {hk: dq_list[i] * g_loss + g_qs[hk]
+               for i, hk in enumerate(head_keys)}
+        denc, dXp = enc_vjp(dqs)
+
+        dV = _dv_call(u32, dXp, blk, no_missing, blk_idx=blk_idx)
+        return (dV, denc, dPs, None, None)
+
+    indexed_training_loss.defvjp(fwd, bwd)
+    return indexed_training_loss

@@ -93,7 +93,8 @@ def _shard_loss_local(params, xb, row_weight, col_mask, pops_batch,
 def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
                                supervised_loss_weight: float,
                                use_pallas: bool, no_missing: bool = False,
-                               masked: bool = True):
+                               masked: bool = True,
+                               merged_loss: bool = False):
     """Build a (params, xb, row_w, col_mask, pops_b) -> (loss, grads) function
     executed under shard_map on ``mesh``. Input/output shardings:
       xb P(data, snp); row_w/pops_b P(data); col_mask P(snp);
@@ -112,7 +113,7 @@ def make_sharded_loss_and_grad(mesh, params_template: Dict, supervised: bool,
         from ..ops.fused_step import make_fused_training_loss
         fused_op = make_fused_training_loss(
             sorted(params_template["heads"]), snp_axis=SNP_AXIS,
-            no_missing=no_missing, masked=masked)
+            no_missing=no_missing, masked=masked, merged_loss=merged_loss)
     local = partial(_shard_loss_local, supervised=supervised,
                     supervised_loss_weight=supervised_loss_weight,
                     use_pallas=use_pallas, n_snp=n_snp, fused_op=fused_op)

@@ -207,6 +207,32 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     full_real = ((blk > 1 or b_round == batch_size)
                  and os.environ.get("NA_TPU_FORCE_MASKED") != "1")
 
+    # Gather-free full batches (OPT-IN, NA_TPU_INDEXED=1): the fused
+    # kernels read the sampled blocks straight from the resident array
+    # (scalar-prefetch index maps, pick_g blocks per grid step) instead of
+    # materializing a gathered batch. Measured SLOWER end-to-end on v5e at
+    # the bench workload -- 72.6k (blk=16) / 82.5k (blk=32) vs 93.1k
+    # samples/s gathered -- because the scattered-DMA + grid-step overhead
+    # in all three passes exceeds the gather copy, which XLA largely hides
+    # behind kernel execution (tools/tune_gather2/3/4.py). Kept as a
+    # correct, tested alternative (tests/test_indexed_step.py): the
+    # trade-off may flip on hardware with different DMA overheads or at
+    # batch shapes where the copy cannot be hidden. Requires all-real
+    # blocks (full batches), the unsharded Pallas path, and 8-row
+    # (sublane) aligned blocks.
+    indexed = (full_real and use_pallas and mesh is None and blk > 1
+               and blk % 8 == 0
+               and os.environ.get("NA_TPU_INDEXED") == "1")
+
+    # Logged epochs (compute_loss=True) run the merged loss+dq+dp kernel:
+    # the loss value is a byproduct of the backward's draw, so a logged
+    # step costs 3 packed passes like an unlogged one (the split program
+    # cost 4). Unlogged epochs keep the split program, whose dead loss
+    # pass XLA eliminates entirely. NA_TPU_SPLIT_LOSS=1 pins the split
+    # program everywhere (A/B tests and fallback).
+    merged = (compute_loss and use_pallas
+              and os.environ.get("NA_TPU_SPLIT_LOSS") != "1")
+
     def _mk_loss_and_grad(masked: bool):
         if mesh is None:
             fused_op = None
@@ -214,7 +240,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 from ..ops.fused_step import make_fused_training_loss
                 fused_op = make_fused_training_loss(
                     sorted(params_template["heads"]), no_missing=no_missing,
-                    masked=masked)
+                    masked=masked, merged_loss=merged)
             loss_fn = partial(_loss_fn, supervised=supervised,
                               supervised_loss_weight=supervised_loss_weight,
                               use_pallas=use_pallas, fused_op=fused_op)
@@ -227,11 +253,31 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         from ..parallel.sharded_step import make_sharded_loss_and_grad
         return make_sharded_loss_and_grad(
             mesh, params_template, supervised, supervised_loss_weight,
-            use_pallas, no_missing=no_missing, masked=masked)
+            use_pallas, no_missing=no_missing, masked=masked,
+            merged_loss=merged)
 
     lag_masked = _mk_loss_and_grad(True)
-    lag_full = (_mk_loss_and_grad(False) if (use_pallas and full_real)
-                else lag_masked)
+    if indexed:
+        from ..ops.fused_step import make_indexed_training_loss
+        idx_op = make_indexed_training_loss(
+            sorted(params_template["heads"]), blk, no_missing=no_missing,
+            merged_loss=merged)
+
+        def _idx_loss_fn(params, resident, blk_idx, row_weight, pops_b):
+            enc = {k: params[k] for k in ("rmsnorm", "common", "heads")}
+            loss, qs = idx_op(params["V"], enc, params["decoders"],
+                              resident, blk_idx)
+            if supervised:
+                loss = loss + _supervised_term(qs, pops_b, row_weight,
+                                               supervised_loss_weight)
+            return loss
+
+        def lag_full(params, resident, blk_idx, row_weight, pops_b):
+            return jax.value_and_grad(_idx_loss_fn)(
+                params, resident, blk_idx, row_weight, pops_b)
+    else:
+        lag_full = (_mk_loss_and_grad(False) if (use_pallas and full_real)
+                    else lag_masked)
     if mesh is None:
         batch_sharding = None
     else:
@@ -272,9 +318,20 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             idx_rem = jnp.concatenate(
                 [tail, jnp.full((b_rem - tail.shape[0],), N, perm.dtype)])
 
-        def step(carry, idx_b, loss_and_grad):
+        def step(carry, idx_b, loss_and_grad, use_indexed=False):
             params, opt_state = carry
-            if blk > 1:
+            if use_indexed:
+                # Full batches only: all rows real (row_weight == 1), no
+                # gathered batch -- the kernels read blocks idx_b of the
+                # resident array directly.
+                row_idx = (idx_b[:, None] * blk
+                           + jnp.arange(blk, dtype=idx_b.dtype)).reshape(-1)
+                row_weight = jnp.ones((row_idx.shape[0],), jnp.float32)
+                pops_b = jnp.take(pops, row_idx, axis=0)
+                loss, grads = loss_and_grad(
+                    params, packed, idx_b.astype(jnp.int32), row_weight,
+                    pops_b)
+            elif blk > 1:
                 # Gather at block granularity: one dynamic-slice per block
                 # of blk contiguous rows, concatenated. XLA lowers each
                 # slice as a strided copy, which measures FASTER than both
@@ -298,13 +355,15 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 # sample axis: 0 in row-major (B, W), 1 in tile-major
                 xb = jnp.take(packed, safe, axis=1 if packed.ndim == 3 else 0)
                 pops_b = jnp.take(pops, safe, axis=0)
-            if batch_sharding is not None:
-                xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
-                row_weight = jax.lax.with_sharding_constraint(
-                    row_weight, row_sharding)
-                pops_b = jax.lax.with_sharding_constraint(pops_b, row_sharding)
-            loss, grads = loss_and_grad(
-                params, xb, row_weight, col_mask, pops_b)
+            if not use_indexed:
+                if batch_sharding is not None:
+                    xb = jax.lax.with_sharding_constraint(xb, batch_sharding)
+                    row_weight = jax.lax.with_sharding_constraint(
+                        row_weight, row_sharding)
+                    pops_b = jax.lax.with_sharding_constraint(
+                        pops_b, row_sharding)
+                loss, grads = loss_and_grad(
+                    params, xb, row_weight, col_mask, pops_b)
             if not compute_loss:
                 loss = jnp.float32(0)  # primal DCE'd; see docstring
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -317,7 +376,8 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         if nb > 1:
             # Full batches are all-real rows -> the unmasked kernel variant.
             carry, losses = jax.lax.scan(
-                partial(step, loss_and_grad=lag_full), carry, idx_full)
+                partial(step, loss_and_grad=lag_full, use_indexed=indexed),
+                carry, idx_full)
             loss_total = loss_total + jnp.sum(losses)
         # The remainder batch has its own (smaller) static width -- the step
         # traces a second time at b_rem rows, like the reference's short

@@ -147,7 +147,7 @@ def dq_dp_vpu_call(q, p, u32, g):
         _dq_dp_kernel_vpu(),
         grid=(m_pad // TM, Bc // tb),
         in_specs=(fs._q_specs([K], tb, "mb") + fs._p_specs([K], "mb")
-                  + fs._common_specs(tb, "mb")
+                  + (fs._u32_specs(tb, "mb") + fs._mask_specs(tb, "mb"))
                   + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)]),
         out_specs=([pl.BlockSpec((Bc // tb, K, tb), lambda j, i: (0, 0, 0),

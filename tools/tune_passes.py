@@ -59,22 +59,31 @@ def timeit(name, fn, *args):
 
 
 def scan_of(fn):
+    """fn(acc, *args) -> scalar. The acc MUST feed an operand of the
+    kernel under test: a loop-invariant body is hoisted out of the scan by
+    XLA (one kernel execution for the whole scan), which produced bogus
+    sub-HBM-floor numbers in tune_gather2.py's staged leg."""
     @jax.jit
     def run(*args):
         def body(acc, _):
-            return acc + fn(*args), None
+            return acc + fn(acc, *args), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=STEPS)
         return acc
     return run
 
 
 print(f"B={B} M={M} steps={STEPS} no_missing=True unmasked", flush=True)
-timeit("xv", scan_of(lambda x, v: _xv_call(x, v, tb, True)[0, 0]), xb, V)
+# acc*1e-38 perturbations keep every leg live without changing the math
+# measurably; the V/dXp perturbation adds one 32MB/25KB elementwise pass.
+timeit("xv", scan_of(lambda a, x, v: _xv_call(x, v + a * 1e-38, tb,
+                                              True)[0, 0]), xb, V)
 timeit("loss (masked, logged epochs)",
-       scan_of(lambda qq, pp, x: _loss_call([qq], [pp], x, cm2, rw2, tb,
-                                            True, True)), q, P, xb)
+       scan_of(lambda a, qq, pp, x: _loss_call([qq + a * 1e-38], [pp], x,
+                                               cm2, rw2, tb, True, True)),
+       q, P, xb)
 timeit("dq_dp (unmasked)",
-       scan_of(lambda qq, pp, x: _dq_dp_call(
-           [qq], [pp], x, cm2, rw2, jnp.float32(1), tb, True,
+       scan_of(lambda a, qq, pp, x: _dq_dp_call(
+           [qq + a * 1e-38], [pp], x, cm2, rw2, jnp.float32(1), tb, True,
            False)[0][0][0, 0]), q, P, xb)
-timeit("dv", scan_of(lambda x, d: _dv_call(x, d, tb, True)[0, 0]), xb, dXp)
+timeit("dv", scan_of(lambda a, x, d: _dv_call(x, d + a * 1e-38, tb,
+                                              True)[0, 0]), xb, dXp)

@@ -117,7 +117,7 @@ def dq_dp_qt_call(qt, p, u32, g):
         grid=(m_pad // TM, B // tb),
         in_specs=([pl.BlockSpec((1, K, tb), lambda j, i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)]
-                  + fs._p_specs([K], "mb") + fs._common_specs(tb, "mb")
+                  + fs._p_specs([K], "mb") + (fs._u32_specs(tb, "mb") + fs._mask_specs(tb, "mb"))
                   + [pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                                   memory_space=pltpu.SMEM)]),
         out_specs=([pl.BlockSpec((B // tb, K, tb), lambda j, i: (0, 0, 0),
@@ -188,7 +188,7 @@ def loss_qt_call(qt, p, u32):
         grid=(B // tb, m_pad // TM),
         in_specs=([pl.BlockSpec((1, K, tb), lambda i, j: (i, 0, 0),
                                 memory_space=pltpu.VMEM)]
-                  + fs._p_specs([K]) + fs._common_specs(tb)),
+                  + fs._p_specs([K]) + (fs._u32_specs(tb) + fs._mask_specs(tb))),
         out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
