@@ -46,7 +46,9 @@ def bench_jax():
     import jax
     import optax
 
-    from neural_admixture_tpu.utils.platform import enable_compile_cache
+    from neural_admixture_tpu.utils.platform import (enable_compile_cache,
+                                                     sync_platform_from_env)
+    sync_platform_from_env()
     enable_compile_cache()
 
     from neural_admixture_tpu.models import qp
@@ -103,14 +105,29 @@ def bench_jax():
                 axis=axis)
 
     # Measure the production-dominant path: the loss-free epoch (the loss
-    # forward is only computed on logging epochs).
+    # forward is only computed on logging epochs). The engine runs the
+    # unlogged epochs between logs GROUPED in one jit dispatch (lax.scan
+    # over per-epoch keys, engine.make_epoch_fn(epochs_per_call=E)); the
+    # bench mirrors that by default. NA_BENCH_GROUP=0 measures per-epoch
+    # dispatch instead.
+    group = os.environ.get("NA_BENCH_GROUP", "1") == "1" and EPOCHS_MEASURE > 1
     no_missing = use_pallas and not pk.packed_has_missing(packed)
-    epoch_fn = make_epoch_fn(tx, N, B, supervised=False,
-                             supervised_loss_weight=0.0,
-                             use_pallas=use_pallas, compute_loss=False,
-                             params_template=params, sample_block=blk,
-                             n_rows=n_rows, no_missing=no_missing)
+    mk = lambda **kw: make_epoch_fn(  # noqa: E731
+        tx, N, B, supervised=False, supervised_loss_weight=0.0,
+        use_pallas=use_pallas, compute_loss=False, params_template=params,
+        sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
+    epoch_fn = mk(epochs_per_call=EPOCHS_MEASURE) if group else mk()
     key = jax.random.PRNGKey(42)
+
+    def run_epochs(params, opt_state, key):
+        if group:
+            return epoch_fn(params, opt_state, packed_dev, col_mask, pops,
+                            jax.random.split(key, EPOCHS_MEASURE))[:2]
+        for _ in range(EPOCHS_MEASURE):
+            key, ke = jax.random.split(key)
+            params, opt_state, _ = epoch_fn(params, opt_state, packed_dev,
+                                            col_mask, pops, ke)
+        return params, opt_state
 
     # NOTE: sync via a scalar value fetch from the updated params --
     # block_until_ready is a no-op on some experimental PJRT backends,
@@ -118,16 +135,13 @@ def bench_jax():
     def sync(params):
         return float(jax.numpy.sum(params["rmsnorm"]["weight"]))
 
-    # Warm-up / compile epoch.
-    params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
-                                       col_mask, pops, key)
+    # Warm-up / compile.
+    key, kw = jax.random.split(key)
+    params, opt_state = run_epochs(params, opt_state, kw)
     sync(params)
 
     t0 = time.time()
-    for e in range(EPOCHS_MEASURE):
-        key, ke = jax.random.split(key)
-        params, opt_state, loss = epoch_fn(params, opt_state, packed_dev,
-                                           col_mask, pops, ke)
+    params, opt_state = run_epochs(params, opt_state, key)
     sync(params)
     dt = time.time() - t0
     return N * EPOCHS_MEASURE / dt

@@ -161,8 +161,22 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   supervised_loss_weight: float, use_pallas: bool = False,
                   mesh=None, params_template=None, compute_loss: bool = True,
                   sample_block: int = 1, n_rows: Optional[int] = None,
-                  no_missing: bool = False):
+                  no_missing: bool = False, epochs_per_call: int = 1,
+                  _raw: bool = False):
     """Build the jitted one-epoch function (scan over shuffled batches).
+
+    ``epochs_per_call > 1`` returns a function taking a STACK of per-epoch
+    keys (E, 2) and running E epochs inside one jit -- one host dispatch
+    instead of E. With ``compute_loss=True`` the group is one LOG PERIOD:
+    the first epoch runs the logged program (its loss is the returned
+    value), the remaining E-1 run the loss-free program under a lax.scan.
+    With ``compute_loss=False`` all E epochs are loss-free. Same per-epoch
+    math and key stream as E single calls (bit-exact on the XLA path; on
+    the Pallas path the surrounding encoder/Adam ops may fuse differently
+    under the outer scan -- last-ulp, pinned by tests/test_epoch_group.py).
+
+    ``_raw`` (internal) returns the single-epoch body unjitted so the
+    grouped builder can compose the logged and fast variants in one jit.
 
     With ``mesh`` set, the loss/grad of each step runs under shard_map on the
     (data, snp) mesh (parallel.sharded_step); batches are gathered globally
@@ -286,8 +300,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             else P(DATA_AXIS, SNP_AXIS))
         row_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, packed, col_mask, pops, key):
+    def run_epoch(params, opt_state, packed, col_mask, pops, key):
         if blk > 1:
             # Permute the FULL data blocks; full batches take the first
             # (nb-1) * F of them, the remainder batch takes the rest plus
@@ -386,7 +399,40 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                                              loss_and_grad=lag_masked)
         return params, opt_state, loss_total + loss_rem
 
-    return epoch_fn
+    if _raw:
+        return run_epoch
+    if epochs_per_call <= 1:
+        return jax.jit(run_epoch, donate_argnums=(0, 1))
+
+    run_fast = run_epoch
+    if compute_loss:
+        # A log-period group: epoch 0 runs the LOGGED program (merged
+        # loss+dq+dp kernel on the Pallas path), epochs 1..E-1 the
+        # loss-free one -- the exact programs the ungrouped loop selects.
+        run_fast = make_epoch_fn(
+            tx, N, batch_size, supervised, supervised_loss_weight,
+            use_pallas=use_pallas, mesh=mesh, params_template=params_template,
+            compute_loss=False, sample_block=sample_block, n_rows=n_rows,
+            no_missing=no_missing, _raw=True)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def epochs_fn(params, opt_state, packed, col_mask, pops, keys):
+        loss = jnp.float32(0)
+        rest = keys
+        if compute_loss:
+            params, opt_state, loss = run_epoch(
+                params, opt_state, packed, col_mask, pops, keys[0])
+            rest = keys[1:]
+
+        def body(carry, k_epoch):
+            p, o = carry
+            p, o, _ = run_fast(p, o, packed, col_mask, pops, k_epoch)
+            return (p, o), None
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), rest)
+        return params, opt_state, loss
+
+    return epochs_fn
 
 
 @jax.jit
@@ -560,13 +606,26 @@ class NeuralAdmixtureTrainer:
                      no_missing=no_missing)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
+        # Each LOG PERIOD (the logged epoch + the log_every-1 loss-free
+        # epochs after it) runs grouped inside ONE jit dispatch: at the
+        # bench workload each epoch_fn call pays ~6-8 ms of host->device
+        # dispatch latency on top of ~36 ms of step work; grouping
+        # amortizes it to one dispatch per period. Identical key stream
+        # and per-epoch programs (the group's first epoch runs the logged
+        # program and its loss is returned). NA_TPU_EPOCH_GROUP=0 disables.
+        import os
+        log_every = 2 if supervised else cfg.log_every
+        e_group = log_every
+        if os.environ.get("NA_TPU_EPOCH_GROUP", "1") == "0" or e_group < 2:
+            e_group = 0
+        epoch_fn_multi = (mk(compute_loss=True, epochs_per_call=e_group)
+                          if e_group else None)
 
         if self.master:
             log.info("")
             log.info("    Starting training...")
             log.info("")
 
-        log_every = 2 if supervised else cfg.log_every
         start_epoch = 0
         if cfg.resume and cfg.checkpoint_path:
             loaded = self._load_checkpoint(params, opt_state, key)
@@ -575,30 +634,61 @@ class NeuralAdmixtureTrainer:
                 if self.master:
                     log.info(f"    Resuming from epoch {start_epoch}.")
 
-        epoch_iter = range(start_epoch, cfg.epochs)
+        pbar = None
         if cfg.progress and self.master:
-            epoch_iter = tqdm(epoch_iter, desc="Epochs", file=sys.stderr,
-                              initial=start_epoch, total=cfg.epochs)
+            pbar = tqdm(desc="Epochs", file=sys.stderr,
+                        initial=start_epoch, total=cfg.epochs)
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)
         t_train = time.time()
         loss_sum = None
-        for epoch in epoch_iter:
-            key, k_epoch = jax.random.split(key)
-            # All ranks must select the same program: the logged/fast variants
-            # differ in collectives under shard_map (the loss psum is DCE'd in
-            # the fast one), so gating the *choice* on rank would desync SPMD
-            # programs in a multi-process run. Only the log is master-gated.
+
+        def _ckpt_inside(epoch: int, n: int) -> bool:
+            """A checkpoint boundary strictly inside [epoch, epoch+n) --
+            the group must not skip it (the boundary at the group's LAST
+            epoch is fine: the save happens right after the call)."""
+            if not (cfg.checkpoint_every and cfg.checkpoint_path):
+                return False
+            return any((epoch + i + 1) % cfg.checkpoint_every == 0
+                       for i in range(n - 1))
+
+        epoch = start_epoch
+        while epoch < cfg.epochs:
+            # All ranks must select the same program: the variants differ
+            # in collectives under shard_map (the loss psum is DCE'd in the
+            # fast ones), and the selection inputs (epoch, log_every,
+            # checkpoint cadence) are rank-identical. Only logging is
+            # master-gated.
             logged = epoch % log_every == 0
-            epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
-            params, opt_state, loss_sum = epoch_fn(
-                params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
+            run_n = 1
+            if (logged and e_group
+                    and epoch + e_group <= cfg.epochs
+                    and not _ckpt_inside(epoch, e_group)):
+                run_n = e_group
+            if run_n > 1:
+                ks = []
+                for _ in range(run_n):
+                    key, k_epoch = jax.random.split(key)
+                    ks.append(k_epoch)
+                params, opt_state, loss_sum = epoch_fn_multi(
+                    params, opt_state, data_dev, col_mask, pops_arr,
+                    jnp.stack(ks))
+            else:
+                key, k_epoch = jax.random.split(key)
+                epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
+                params, opt_state, loss_sum = epoch_fn(
+                    params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
             if logged and self.master:
                 log.info(f"            Loss in epoch {epoch:3d} is "
                          f"{float(loss_sum):,.0f}")
             if (cfg.checkpoint_every and cfg.checkpoint_path
-                    and (epoch + 1) % cfg.checkpoint_every == 0):
-                self._save_checkpoint(epoch + 1, params, opt_state, key)
+                    and (epoch + run_n) % cfg.checkpoint_every == 0):
+                self._save_checkpoint(epoch + run_n, params, opt_state, key)
+            epoch += run_n
+            if pbar is not None:
+                pbar.update(run_n)
+        if pbar is not None:
+            pbar.close()
         # Sync via a scalar fetch from the trained params (the loss of a
         # fast epoch is a constant 0): block_until_ready is a no-op on some
         # experimental PJRT backends; a device->host read is a real barrier.
