@@ -87,7 +87,12 @@ def main_train(args, t0: float) -> int:
         import jax
         suffixes = Path(args.data_path).suffixes
         packed_native = ".bed" in suffixes or ".pgen" in suffixes
+        # First backend contact below: remote TPU runtimes can take minutes
+        # to dial/compile, which otherwise looks like a silent hang.
+        log.info("    Initializing the JAX backend...")
         n_proc = jax.process_count()
+        log.info(f"    Backend '{jax.default_backend()}' with "
+                 f"{len(jax.devices())} device(s).")
         data, host_rows = None, None
         if n_proc > 1:
             assert packed_native, (

@@ -94,9 +94,14 @@ def test_grouped_epochs_bit_exact(use_pallas, logged_first):
         check(a, b)
 
 
-def test_trainer_grouping_matches_ungrouped(tmp_path, monkeypatch):
+@pytest.mark.parametrize("ckpt_every", [0, 3, 2])
+def test_trainer_grouping_matches_ungrouped(tmp_path, monkeypatch,
+                                            ckpt_every):
     """End-to-end trainer: NA_TPU_EPOCH_GROUP on vs off -> identical Q/P
-    (same key stream, same math; grouping only changes dispatch)."""
+    and identical checkpoint cadence (same key stream, same math; grouping
+    only changes dispatch). ckpt_every=3 aligns with log_every (the
+    boundary lands on a group edge); ckpt_every=2 puts boundaries strictly
+    inside log periods, forcing the single-epoch fallback."""
     rng = np.random.default_rng(3)
     geno = rng.integers(0, 3, size=(N, M), dtype=np.uint8)
     packed, _ = pack_with_padding(geno)
@@ -105,14 +110,24 @@ def test_trainer_grouping_matches_ungrouped(tmp_path, monkeypatch):
 
     def run(group):
         monkeypatch.setenv("NA_TPU_EPOCH_GROUP", group)
+        ck = tmp_path / f"g{group}_ck{ckpt_every}.npz"
         cfg = TrainConfig(epochs=7, batch_size=B, ks=[K], seed=11,
                           hidden_size=32, log_every=3, progress=False,
-                          use_pallas=False, sample_block=1, mesh_shape=(1, 1))
+                          use_pallas=False, sample_block=1, mesh_shape=(1, 1),
+                          checkpoint_every=ckpt_every,
+                          checkpoint_path=str(ck) if ckpt_every else None)
         tr = NeuralAdmixtureTrainer(cfg)
         Qs, Ps, _ = tr.launch_training(P0.copy(), packed, V.copy(), M, N)
-        return Qs[0], Ps[0]
+        last_ckpt_epoch = None
+        if ckpt_every:
+            assert ck.exists()
+            last_ckpt_epoch = int(np.load(ck)["epoch"])
+        return Qs[0], Ps[0], last_ckpt_epoch
 
-    q1, p1 = run("0")
-    q2, p2 = run("1")
+    q1, p1, ck1 = run("0")
+    q2, p2, ck2 = run("1")
     np.testing.assert_array_equal(q1, q2)
     np.testing.assert_array_equal(p1, p2)
+    assert ck1 == ck2
+    if ckpt_every:
+        assert ck1 == (7 // ckpt_every) * ckpt_every
