@@ -131,3 +131,30 @@ def test_trainer_grouping_matches_ungrouped(tmp_path, monkeypatch,
     assert ck1 == ck2
     if ckpt_every:
         assert ck1 == (7 // ckpt_every) * ckpt_every
+
+
+def test_trainer_grouping_sharded(monkeypatch):
+    """Grouped dispatch under shard_map on a (2, 2) (data, snp) mesh: the
+    logged + scanned-fast composite must compile and match the ungrouped
+    loop bit-for-bit (XLA sharded path; the per-epoch collectives are
+    identical, grouping only wraps them in an outer scan)."""
+    rng = np.random.default_rng(5)
+    geno = rng.integers(0, 3, size=(N, M), dtype=np.uint8)
+    packed, _ = pack_with_padding(geno)
+    V = rng.normal(size=(8, M)).astype(np.float32) * 0.1
+    P0 = rng.uniform(0.2, 0.8, size=(K, M)).astype(np.float32)
+
+    def run(group):
+        monkeypatch.setenv("NA_TPU_EPOCH_GROUP", group)
+        cfg = TrainConfig(epochs=6, batch_size=B, ks=[K], seed=2,
+                          hidden_size=32, log_every=3, progress=False,
+                          use_pallas=False, sample_block=BLK,
+                          mesh_shape=(2, 2))
+        tr = NeuralAdmixtureTrainer(cfg)
+        Qs, Ps, _ = tr.launch_training(P0.copy(), packed, V.copy(), M, N)
+        return Qs[0], Ps[0]
+
+    q1, p1 = run("0")
+    q2, p2 = run("1")
+    np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(p1, p2)
