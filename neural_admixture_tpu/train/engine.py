@@ -550,6 +550,26 @@ class NeuralAdmixtureTrainer:
                                          data_host.dtype)], axis=0)
             n_rows_global = data_host.shape[0]
         resident_rows = data_host.shape[0]
+        # Pre-flight HBM estimate: resident packed genotypes + SNP-plane
+        # training state per chip. An allocator OOM here is opaque; warn
+        # with the actionable fix (a bigger mesh) instead. Capacity
+        # default: 16 GiB (v5e); override via NA_TPU_HBM_CAPACITY_GB.
+        import os
+        cap_gb = float(os.environ.get("NA_TPU_HBM_CAPACITY_GB", "16"))
+        n_chips = 1 if mesh is None else mesh.size
+        n_snp_ax = 1 if mesh is None else mesh.shape[SNP_AXIS]
+        plane_rows = cfg.n_components + sum(self.ks)
+        # Packed data shards over the whole mesh; the SNP-plane state
+        # (params + Adam moments + batch scratch) only over the snp axis.
+        per_chip = (data_host.nbytes * max(1, n_proc) / n_chips
+                    + (m_pad * plane_rows * 4 * 3
+                       + cfg.batch_size * m_pad * 4) / n_snp_ax)
+        if self.master and per_chip > 0.9 * cap_gb * 2**30:
+            log.warning(
+                f"    Estimated per-chip HBM need ~{per_chip / 2**30:.1f} "
+                f"GiB exceeds ~{cap_gb:.0f} GiB capacity; training will "
+                f"likely OOM. Use --mesh DxS over more chips (packed data "
+                f"and SNP-plane state shard across both axes).")
         if use_pallas:
             # Tile-major device layout: (nT, N, 128) -- contiguous DMA blocks
             # in every fused kernel (see ops.fused_step).
