@@ -171,9 +171,11 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     the first epoch runs the logged program (its loss is the returned
     value), the remaining E-1 run the loss-free program under a lax.scan.
     With ``compute_loss=False`` all E epochs are loss-free. Same per-epoch
-    math and key stream as E single calls (bit-exact on the XLA path; on
+    math and key stream as E single calls -- bit-exact on the XLA path. On
     the Pallas path the surrounding encoder/Adam ops may fuse differently
-    under the outer scan -- last-ulp, pinned by tests/test_epoch_group.py).
+    under the outer scan: last-ulp per step, amplified through Adam over
+    the group (grouped/ungrouped are NOT bitwise-interchangeable; pinned
+    at rtol 5e-3 by tests/test_epoch_group.py).
 
     ``_raw`` (internal) returns the single-epoch body unjitted so the
     grouped builder can compose the logged and fast variants in one jit.
@@ -558,12 +560,16 @@ class NeuralAdmixtureTrainer:
         cap_gb = float(os.environ.get("NA_TPU_HBM_CAPACITY_GB", "16"))
         n_chips = 1 if mesh is None else mesh.size
         n_snp_ax = 1 if mesh is None else mesh.shape[SNP_AXIS]
-        plane_rows = cfg.n_components + sum(self.ks)
-        # Packed data shards over the whole mesh; the SNP-plane state
-        # (params + Adam moments + batch scratch) only over the snp axis.
-        per_chip = (data_host.nbytes * max(1, n_proc) / n_chips
-                    + (m_pad * plane_rows * 4 * 3
-                       + cfg.batch_size * m_pad * 4) / n_snp_ax)
+        # Resident data and the gathered batch shard over the WHOLE mesh
+        # (batch_sharding is P(data, snp)); the gathered batch stays 2-bit
+        # packed, plus an f32 unpack transient on the XLA path (the Pallas
+        # kernels unpack in VMEM). The SNP-plane state replicates over the
+        # data axis, sharding only over snp.
+        batch_bytes = cfg.batch_size * m_pad // 4
+        if not use_pallas:
+            batch_bytes += cfg.batch_size * m_pad * 4
+        per_chip = ((data_host.nbytes * max(1, n_proc) + batch_bytes)
+                    / n_chips + self._plane_state_bytes(m_pad) / n_snp_ax)
         if self.master and per_chip > 0.9 * cap_gb * 2**30:
             log.warning(
                 f"    Estimated per-chip HBM need ~{per_chip / 2**30:.1f} "
@@ -633,7 +639,6 @@ class NeuralAdmixtureTrainer:
         # amortizes it to one dispatch per period. Identical key stream
         # and per-epoch programs (the group's first epoch runs the logged
         # program and its loss is returned). NA_TPU_EPOCH_GROUP=0 disables.
-        import os
         log_every = 2 if supervised else cfg.log_every
         e_group = log_every
         if os.environ.get("NA_TPU_EPOCH_GROUP", "1") == "0" or e_group < 2:
@@ -825,19 +830,26 @@ class NeuralAdmixtureTrainer:
         new_opt = jax.tree.map(_restore, opt_state, new_opt)
         return epoch, new_params, new_opt, new_key
 
+    def _plane_state_bytes(self, m_pad: int) -> int:
+        """f32 SNP-plane training state: V plus every decoder P row, each
+        carried three times (parameter + two Adam moments)."""
+        plane_rows = self.cfg.n_components + sum(self.ks)
+        return m_pad * plane_rows * 4 * 3
+
     def _auto_snp_axis(self, n_dev: int, m_pad: int, snp_quantum: int) -> int:
         """Auto mesh policy: devices go to the snp axis only when the
         SNP-plane training state (V + every decoder P, each with two Adam
         moments, plus gathered-batch scratch) would exceed the per-chip HBM
         budget; otherwise pure data parallelism (fewer collectives). The
         budget is 8 GiB by default -- half a v5e chip, leaving room for the
-        resident packed genotypes -- overridable via NA_TPU_HBM_BUDGET_GB."""
+        resident packed genotypes -- overridable via NA_TPU_HBM_BUDGET_GB.
+        The batch term is deliberately conservative (not divided by the
+        data axis): it errs toward engaging the snp axis."""
         import os
         budget = float(os.environ.get("NA_TPU_HBM_BUDGET_GB", "8"))
         cfg = self.cfg
-        plane_rows = cfg.n_components + sum(self.ks)
-        plane_bytes = m_pad * plane_rows * 4 * 3 \
-            + cfg.batch_size * m_pad  # f32 state x (param + 2 moments) + X
+        plane_bytes = self._plane_state_bytes(m_pad) \
+            + cfg.batch_size * m_pad  # + packed/transient batch scratch
         n_snp = 1
         while (plane_bytes / n_snp > budget * 2**30 and n_snp < n_dev
                and n_dev % (n_snp * 2) == 0
