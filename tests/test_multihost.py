@@ -19,7 +19,10 @@ import pytest
 
 from tests.conftest import DEMO_BED
 
-EPOCHS, K, BATCH, HIDDEN, SEED = 2, 2, 64, 32, 7
+# 6 epochs > log_every (5) so the grouped log-period dispatch (one jit
+# per period, engine.make_epoch_fn(epochs_per_call)) runs under the real
+# two-process mesh: epoch 0-4 grouped, epoch 5 logged single.
+EPOCHS, K, BATCH, HIDDEN, SEED = 6, 2, 64, 32, 7
 
 
 def _free_port() -> int:
