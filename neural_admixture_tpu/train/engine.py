@@ -162,14 +162,16 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   mesh=None, params_template=None, compute_loss: bool = True,
                   sample_block: int = 1, n_rows: Optional[int] = None,
                   no_missing: bool = False, epochs_per_call: int = 1,
-                  _raw: bool = False):
+                  period_len: int = 0, _raw: bool = False):
     """Build the jitted one-epoch function (scan over shuffled batches).
 
     ``epochs_per_call > 1`` returns a function taking a STACK of per-epoch
     keys (E, 2) and running E epochs inside one jit -- one host dispatch
-    instead of E. With ``compute_loss=True`` the group is one LOG PERIOD:
-    the first epoch runs the logged program (its loss is the returned
-    value), the remaining E-1 run the loss-free program under a lax.scan.
+    instead of E. With ``compute_loss=True`` the group is one or more LOG
+    PERIODS of ``period_len`` epochs each (E must be a whole multiple;
+    ``period_len=0`` means one period of E): each period's first epoch
+    runs the logged program, the rest the loss-free program, and the
+    returned loss is the (n_periods,) stack of logged losses.
     With ``compute_loss=False`` all E epochs are loss-free. Same per-epoch
     math and key stream as E single calls -- bit-exact on the XLA path. On
     the Pallas path the surrounding encoder/Adam ops may fuse differently
@@ -408,31 +410,42 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
 
     run_fast = run_epoch
     if compute_loss:
-        # A log-period group: epoch 0 runs the LOGGED program (merged
-        # loss+dq+dp kernel on the Pallas path), epochs 1..E-1 the
-        # loss-free one -- the exact programs the ungrouped loop selects.
+        # A log-period group: each period's epoch 0 runs the LOGGED
+        # program (merged loss+dq+dp kernel on the Pallas path), epochs
+        # 1..n_per-1 the loss-free one -- the exact programs the
+        # ungrouped loop selects.
         run_fast = make_epoch_fn(
             tx, N, batch_size, supervised, supervised_loss_weight,
             use_pallas=use_pallas, mesh=mesh, params_template=params_template,
             compute_loss=False, sample_block=sample_block, n_rows=n_rows,
             no_missing=no_missing, _raw=True)
+    n_per = period_len if (compute_loss and period_len) else epochs_per_call
+    assert epochs_per_call % n_per == 0, (epochs_per_call, n_per)
+    n_periods = epochs_per_call // n_per
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def epochs_fn(params, opt_state, packed, col_mask, pops, keys):
-        loss = jnp.float32(0)
-        rest = keys
-        if compute_loss:
-            params, opt_state, loss = run_epoch(
-                params, opt_state, packed, col_mask, pops, keys[0])
-            rest = keys[1:]
+        def fast_scan(carry, ks):
+            def body(c, k_epoch):
+                p, o = c
+                p, o, _ = run_fast(p, o, packed, col_mask, pops, k_epoch)
+                return (p, o), None
+            return jax.lax.scan(body, carry, ks)
 
-        def body(carry, k_epoch):
+        if not compute_loss:
+            (params, opt_state), _ = fast_scan((params, opt_state), keys)
+            return params, opt_state, jnp.float32(0)
+
+        def period(carry, keys_p):
             p, o = carry
-            p, o, _ = run_fast(p, o, packed, col_mask, pops, k_epoch)
-            return (p, o), None
-        (params, opt_state), _ = jax.lax.scan(
-            body, (params, opt_state), rest)
-        return params, opt_state, loss
+            p, o, loss = run_epoch(p, o, packed, col_mask, pops, keys_p[0])
+            (p, o), _ = fast_scan((p, o), keys_p[1:])
+            return (p, o), loss
+
+        keys_pp = keys.reshape((n_periods, n_per) + keys.shape[1:])
+        (params, opt_state), losses = jax.lax.scan(
+            period, (params, opt_state), keys_pp)
+        return params, opt_state, losses  # (n_periods,)
 
     return epochs_fn
 
@@ -632,19 +645,28 @@ class NeuralAdmixtureTrainer:
                      no_missing=no_missing)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
-        # Each LOG PERIOD (the logged epoch + the log_every-1 loss-free
-        # epochs after it) runs grouped inside ONE jit dispatch: at the
-        # bench workload each epoch_fn call pays ~6-8 ms of host->device
+        # LOG PERIODS (the logged epoch + the log_every-1 loss-free epochs
+        # after it) run grouped inside ONE jit dispatch: at the bench
+        # workload each epoch_fn call pays ~6-8 ms of host->device
         # dispatch latency on top of ~36 ms of step work; grouping
-        # amortizes it to one dispatch per period. Identical key stream
-        # and per-epoch programs (the group's first epoch runs the logged
-        # program and its loss is returned). NA_TPU_EPOCH_GROUP=0 disables.
+        # amortizes it to one dispatch per NA_TPU_EPOCH_GROUP_PERIODS
+        # periods (default 1). Identical key stream and per-epoch programs
+        # (each period's first epoch runs the logged program; the stacked
+        # losses are logged after the call, so a >1 setting trades log
+        # latency for fewer dispatches). NA_TPU_EPOCH_GROUP=0 disables.
         log_every = 2 if supervised else cfg.log_every
         e_group = log_every
         if os.environ.get("NA_TPU_EPOCH_GROUP", "1") == "0" or e_group < 2:
             e_group = 0
-        epoch_fn_multi = (mk(compute_loss=True, epochs_per_call=e_group)
+        j_periods = max(1, int(os.environ.get(
+            "NA_TPU_EPOCH_GROUP_PERIODS", "1")))
+        epoch_fn_multi = (mk(compute_loss=True, epochs_per_call=e_group,
+                             period_len=log_every)
                           if e_group else None)
+        epoch_fn_multi_j = (mk(compute_loss=True,
+                               epochs_per_call=e_group * j_periods,
+                               period_len=log_every)
+                            if e_group and j_periods > 1 else None)
 
         if self.master:
             log.info("")
@@ -685,27 +707,36 @@ class NeuralAdmixtureTrainer:
             # checkpoint cadence) are rank-identical. Only logging is
             # master-gated.
             logged = epoch % log_every == 0
-            run_n = 1
-            if (logged and e_group
-                    and epoch + e_group <= cfg.epochs
-                    and not _ckpt_inside(epoch, e_group)):
-                run_n = e_group
+            run_n, group_fn = 1, None
+            if logged and e_group:
+                def fits(n):
+                    return (epoch + n <= cfg.epochs
+                            and not _ckpt_inside(epoch, n))
+                if epoch_fn_multi_j is not None and fits(e_group * j_periods):
+                    run_n, group_fn = e_group * j_periods, epoch_fn_multi_j
+                elif fits(e_group):
+                    run_n, group_fn = e_group, epoch_fn_multi
             if run_n > 1:
                 ks = []
                 for _ in range(run_n):
                     key, k_epoch = jax.random.split(key)
                     ks.append(k_epoch)
-                params, opt_state, loss_sum = epoch_fn_multi(
+                params, opt_state, losses = group_fn(
                     params, opt_state, data_dev, col_mask, pops_arr,
                     jnp.stack(ks))
+                loss_sum = losses[-1]
+                if self.master:
+                    for i, ls in enumerate(np.asarray(losses)):
+                        log.info(f"            Loss in epoch "
+                                 f"{epoch + i * log_every:3d} is {ls:,.0f}")
             else:
                 key, k_epoch = jax.random.split(key)
                 epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
                 params, opt_state, loss_sum = epoch_fn(
                     params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
-            if logged and self.master:
-                log.info(f"            Loss in epoch {epoch:3d} is "
-                         f"{float(loss_sum):,.0f}")
+                if logged and self.master:
+                    log.info(f"            Loss in epoch {epoch:3d} is "
+                             f"{float(loss_sum):,.0f}")
             if (cfg.checkpoint_every and cfg.checkpoint_path
                     and (epoch + run_n) % cfg.checkpoint_every == 0):
                 self._save_checkpoint(epoch + run_n, params, opt_state, key)
