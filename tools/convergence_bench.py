@@ -43,6 +43,24 @@ EXPECTED_Q = "/root/reference/demo/outputs/demo_run.7.Q.expected"
 EXPECTED_P = "/root/reference/demo/outputs/demo_run.7.P.expected"
 
 
+def synth_admixed(n: int, m: int, k: int, seed: int):
+    """Synthetic admixed cohort from the ADMIXTURE generative model:
+    Q ~ Dirichlet(0.2) rows (sparse ancestry mixes), P ~ U(0.05, 0.95),
+    G_ij ~ Binomial(2, (Q P)_ij). Generated and packed in row blocks so
+    the float allele-frequency matrix never exceeds block x m."""
+    from neural_admixture_tpu.io.packed import pack_2bit_rows, packed_width
+    rng = np.random.default_rng(seed)
+    Q = rng.dirichlet(np.full(k, 0.2), size=n)
+    P = rng.uniform(0.05, 0.95, size=(k, m))
+    m_pad = ((m + 2047) // 2048) * 2048
+    packed = np.empty((n, packed_width(m_pad)), dtype=np.uint8)
+    for i in range(0, n, 4096):
+        af = Q[i:i + 4096] @ P
+        G = rng.binomial(2, af).astype(np.uint8)
+        packed[i:i + 4096] = pack_2bit_rows(G, m_pad=m_pad)
+    return packed, Q, P
+
+
 def main() -> int:
     sync_platform_from_env()
     enable_compile_cache()
@@ -52,19 +70,32 @@ def main() -> int:
     K = int(os.environ.get("NA_CONV_K", 7))
     seed = 42
 
-    packed, N, M = read_bed_packed(data_path)
+    # NA_CONV_SYNTH="N,M,K" benchmarks a synthetic admixed cohort instead
+    # of a file: the target is the ORACLE log-likelihood (the generating
+    # Q, P scored on the sampled genotypes), and recovery of the true Q is
+    # reported as Hungarian-matched column correlations.
+    synth = os.environ.get("NA_CONV_SYNTH")
+    Q_true = None
+    if synth:
+        N, M, K = (int(x) for x in synth.split(","))
+        packed, Q_true, P_true = synth_admixed(N, M, K, seed)
+        data_path = f"synthetic({N}x{M},K={K})"
+        target_ll = float(loglikelihood_packed(
+            packed, M, np.ascontiguousarray(P_true.T.astype(np.float64)),
+            np.ascontiguousarray(Q_true.astype(np.float64))))
+    else:
+        packed, N, M = read_bed_packed(data_path)
+        # Target: the reference's shipped golden outputs on this data.
+        if data_path == DEMO:
+            Qe = np.genfromtxt(EXPECTED_Q)
+            Pe = np.genfromtxt(EXPECTED_P)
+            target_ll = float(loglikelihood_packed(
+                packed, M, np.ascontiguousarray(Pe.astype(np.float64)),
+                np.ascontiguousarray(Qe.astype(np.float64))))
+        else:
+            target_ll = float("nan")
     V = rsvd(packed, N, M, 8, seed)
     P_init = init_p_unsupervised(packed, V, N, M, [K], seed)
-
-    # Target: the reference's shipped golden outputs scored on this data.
-    if data_path == DEMO:
-        Qe = np.genfromtxt(EXPECTED_Q)
-        Pe = np.genfromtxt(EXPECTED_P)
-        target_ll = float(loglikelihood_packed(
-            packed, M, np.ascontiguousarray(Pe.astype(np.float64)),
-            np.ascontiguousarray(Qe.astype(np.float64))))
-    else:
-        target_ll = float("nan")
 
     curve = []
     matched = None
@@ -90,15 +121,30 @@ def main() -> int:
             if matched is None and ll >= target_ll:
                 matched = e
 
-    print(json.dumps({
+    q_corr = None
+    if Q_true is not None:
+        # Recovery of the generating Q: Hungarian-matched mean column
+        # correlation (column order is arbitrary across runs).
+        from scipy.optimize import linear_sum_assignment
+        Qf = np.asarray(Qs[0])
+        corr = np.array([[np.corrcoef(Qf[:, i], Q_true[:, j])[0, 1]
+                          for j in range(K)] for i in range(K)])
+        r, c = linear_sum_assignment(-np.nan_to_num(corr))
+        q_corr = round(float(np.mean(corr[r, c])), 4)
+
+    out = {
         "metric": "epochs_to_match_ll",
         "value": matched if matched is not None else -1,
         "unit": "epochs",
+        "workload": data_path,
         "final_ll": curve[-1][1],
         "target_ll": round(target_ll, 1),
         "seconds": round(time.time() - t0, 1),
         "ll_curve": curve,
-    }))
+    }
+    if q_corr is not None:
+        out["q_corr_vs_truth"] = q_corr
+    print(json.dumps(out))
     return 0
 
 
