@@ -8,6 +8,11 @@ epoch_fn call. A/B: the production per-epoch dispatch loop vs one jit
 that lax.scans E epochs (per-epoch keys precomputed), same math.
 
 Usage: python tools/tune_epochs.py  (TPU)
+
+ADOPTED: the engine now groups each log period (and optionally several,
+NA_TPU_EPOCH_GROUP_PERIODS) into one jit dispatch -- see
+engine.make_epoch_fn(epochs_per_call=...) and PARITY.md's grouped-epoch
+entry. This script remains the isolated A/B for the dispatch gap.
 """
 import os
 import sys
