@@ -22,6 +22,11 @@ import numpy as np
 M = int(os.environ.get("NA_BENCH_M", 1_000_000))
 N = int(os.environ.get("NA_BENCH_N", 4096))
 K = int(os.environ.get("NA_BENCH_K", 8))
+# Multi-head sweep: comma list of K values trained jointly (one head +
+# decoder each, all sharing every pass's packed reads and unpack). Default:
+# the single headline K.
+KS = sorted(int(s) for s in
+            os.environ.get("NA_BENCH_KS", str(K)).split(","))
 B = int(os.environ.get("NA_BENCH_B", 800))
 D = 8
 H = 1024
@@ -72,9 +77,9 @@ def bench_jax():
     packed, m_pad = make_synthetic_packed(N, M, K)
     rng = np.random.default_rng(1)
     V = rng.normal(size=(D, M)).astype(np.float32) * 0.01
-    P_init = rng.uniform(0.1, 0.9, size=(K, M)).astype(np.float32)
+    P_init = rng.uniform(0.1, 0.9, size=(sum(KS), M)).astype(np.float32)
 
-    params = qp.init_params(jax.random.PRNGKey(0), V.T, P_init, H, [K],
+    params = qp.init_params(jax.random.PRNGKey(0), V.T, P_init, H, KS,
                             m_pad=m_pad)
     tx = optax.adam(2e-3, b1=0.9, b2=0.95, eps=1e-8)
     opt_state = tx.init(params)
@@ -168,12 +173,14 @@ def bench_torch_baseline():
     V = torch.nn.Parameter(torch.randn(m, D) * 0.01)
     norm = torch.nn.RMSNorm(D, eps=1e-8)
     common = torch.nn.Sequential(torch.nn.Linear(D, H), torch.nn.ReLU())
-    head = torch.nn.Linear(H, K)
-    dec = torch.nn.Linear(K, m, bias=False)
+    heads = [torch.nn.Linear(H, k) for k in KS]
+    decs = [torch.nn.Linear(k, m, bias=False) for k in KS]
     with torch.no_grad():
-        dec.weight.uniform_(0.1, 0.9)
-    params = ([V] + list(norm.parameters()) + list(common.parameters())
-              + list(head.parameters()) + list(dec.parameters()))
+        for dec in decs:
+            dec.weight.uniform_(0.1, 0.9)
+    params = [V] + list(norm.parameters()) + list(common.parameters())
+    for mod in heads + decs:
+        params += list(mod.parameters())
     opt = torch.optim.Adam(params, lr=2e-3, betas=(0.9, 0.95))
     lossf = torch.nn.BCELoss(reduction="sum")
 
@@ -181,13 +188,15 @@ def bench_torch_baseline():
         opt.zero_grad(set_to_none=True)
         x = X.float() / 2
         x = torch.where(x == 1.5, torch.tensor(0.0), x)
-        q = torch.softmax(head(common(norm(x @ V))), dim=1)
-        rec = torch.clamp(dec(q), 0, 1)
-        loss = lossf(rec, x)
+        h = common(norm(x @ V))
+        loss = sum(
+            lossf(torch.clamp(dec(torch.softmax(head(h), dim=1)), 0, 1), x)
+            for head, dec in zip(heads, decs))
         loss.backward()
         opt.step()
         with torch.no_grad():
-            dec.weight.clamp_(0, 1)
+            for dec in decs:
+                dec.weight.clamp_(0, 1)
 
     step()  # warm-up
     t0 = time.time()
@@ -203,8 +212,10 @@ def main():
     if os.environ.get("NA_BENCH_NO_TORCH", "0") != "1":
         base = bench_torch_baseline()
     vs = (sps / base) if base else None
+    k_tag = (f"K{KS[0]}" if len(KS) == 1
+             else f"K{KS[0]}-{KS[-1]}x{len(KS)}heads")
     print(json.dumps({
-        "metric": f"train_samples_per_sec_{M//1000}kSNP_K{K}",
+        "metric": f"train_samples_per_sec_{M//1000}kSNP_{k_tag}",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs, 2) if vs else None,
