@@ -47,9 +47,23 @@ def _interpret() -> bool:
     return _INTERPRET_BY_BACKEND[backend]
 
 
-def pick_tb(B: int) -> int:
-    """Largest divisor of B that is a multiple of 8 and <= 256."""
-    for tb in range(min(B, 256), 7, -1):
+def pick_tb(B: int, n_heads: int = 1) -> int:
+    """Batch-tile cap for the HEAVY (draw-buffer) kernels (dq_dp / loss):
+    largest divisor of B that is a multiple of 8 and <= the cap.
+
+    Wider tiles cut the ~0.45 us/grid-step fixed cost but grow the in-VMEM
+    (tb, TM) draw/x buffers, which Mosaic stack-allocates against a 16M
+    scoped-vmem limit. Measured on v5e @1M SNPs, B=800 (interleaved
+    repeats, driver bench): single-head cap 400 = 110.3-113.7k samples/s
+    (masked and unmasked) vs cap 256 = 87.9-107.1k (+8-13%); cap 800
+    FAILS to compile (scoped vmem 20.05M > 16M). Multi-head grows ~1M of
+    scoped vmem per extra head at tb=400 (a 9-head K=2..10 sweep overflows
+    at 17.67M), so multi-head keeps the measured-safe 256 cap.
+    NA_TPU_TB_HEAVY overrides both for A/B."""
+    import os
+    default = 400 if n_heads <= 1 else 256
+    cap = int(os.environ.get("NA_TPU_TB_HEAVY", default))
+    for tb in range(min(B, cap), 7, -1):
         if tb % 8 == 0 and B % tb == 0:
             return tb
     raise ValueError(

@@ -600,7 +600,7 @@ def make_fused_training_loss(head_keys: List[str],
         return _encoder_apply(enc_params, Xp, head_keys), Xp
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
-        tb = pick_tb(u32.shape[1])
+        tb = pick_tb(u32.shape[1], len(head_keys))
         qs, Xp = _encode(V, enc_params, u32)
         q_list = [qs[hk] for hk in head_keys]
         p_list = [Ps[hk] for hk in head_keys]
@@ -627,7 +627,7 @@ def make_fused_training_loss(head_keys: List[str],
     def bwd(res, cts):
         g_loss, g_qs = cts
         enc_params, Ps, u32, col_mask, row_w, Xp, dq_list, dp_list = res
-        tb = pick_tb(u32.shape[1])
+        tb = pick_tb(u32.shape[1], len(head_keys))
 
         qs, enc_vjp = jax.vjp(
             lambda ep, xp: _encoder_apply(ep, xp, head_keys), enc_params, Xp)

@@ -158,7 +158,7 @@ def test_fast_recip_backward_matches_exact(monkeypatch):
 
 
 def test_pick_tb():
-    assert pick_tb(800) == 200
+    assert pick_tb(800) == 400
     assert pick_tb(1024) == 256
     assert pick_tb(256) == 256
     assert pick_tb(8) == 8
