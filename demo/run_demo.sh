@@ -4,10 +4,11 @@
 # equivalent of the reference's demo workflow.
 #
 # DEMO_DATA can point at any copy of the demo BED fileset; it defaults to
-# the read-only reference checkout used during development.
+# the fixtures vendored in this repo (demo/data, demo/expected).
 set -e
-DEMO_DATA=${DEMO_DATA:-/root/reference/demo/data/demo_data.bed}
-EXPECTED_DIR=${EXPECTED_DIR:-/root/reference/demo/outputs}
+HERE=$(cd "$(dirname "$0")" && pwd)
+DEMO_DATA=${DEMO_DATA:-$HERE/data/demo_data.bed}
+EXPECTED_DIR=${EXPECTED_DIR:-$HERE/expected}
 OUT=${OUT:-./demo_outputs}
 
 echo "Running Neural ADMIXTURE (TPU) on demo data..."

@@ -6,6 +6,7 @@ reference's check, which its own docs note is hardware-sensitive) we check
 converged *structure*: Hungarian-matched column correlations of Q and P, and
 that our log-likelihood is at least as good as the expected outputs'.
 """
+import os
 import sys
 
 import numpy as np
@@ -54,6 +55,8 @@ def main(out_dir, expected_dir, data_path=None):
 
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "./demo_outputs"
-    exp = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/demo/outputs"
+    exp = (sys.argv[2] if len(sys.argv) > 2
+           else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "expected"))
     data = sys.argv[3] if len(sys.argv) > 3 else None
     sys.exit(main(out, exp, data))

@@ -146,7 +146,14 @@ def parse_infer_args(argv: List[str]) -> argparse.Namespace:
                         help="Batch size.")
     parser.add_argument("--seed", required=False, type=int, default=42, help="Seed")
     parser.add_argument("--num_gpus", required=False, default=0, type=int,
-                        help="Number of devices to be used in the execution.")
+                        help="Number of devices to be used in the execution "
+                        "(0 = CPU, 1 = one device, N>1 = N-way data-parallel "
+                        "sharded inference -- extends the reference, which "
+                        "rejects multi-device inference).")
+    parser.add_argument("--mesh", required=False, default=None, type=str,
+                        help="Device mesh as DATAxSNP for sharded inference, "
+                        "e.g. '4x2' = sample rows over 4 devices x V/SNP "
+                        "columns over 2. Overrides --num_gpus.")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     _apply_yaml_defaults(parser, argv)
@@ -179,6 +186,11 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
     assert args.seed >= 0, "Please select a valid seed (>=0)."
     assert args.num_gpus >= 0, "Number of devices must be >= 0."
     assert args.batch_size > 0, "Batch size must be > 0."
+    if getattr(args, "mesh", None):
+        import re
+        assert re.fullmatch(r"[1-9]\d*x[1-9]\d*", args.mesh), (
+            f"--mesh must look like '4x2' (data x snp), got "
+            f"'{args.mesh}'.")
     if mode == "train":
         assert args.epochs > 0, "Number of epochs must be > 0."
         assert args.learning_rate > 0, "Learning rate must be > 0."
@@ -189,11 +201,6 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             "Number of components for SVD must be > 0."
         assert getattr(args, "sample_block", 1) >= 1, \
             "sample_block must be >= 1."
-        if getattr(args, "mesh", None):
-            import re
-            assert re.fullmatch(r"[1-9]\d*x[1-9]\d*", args.mesh), (
-                f"--mesh must look like '4x2' (data x snp), got "
-                f"'{args.mesh}'.")
         if args.k is not None:
             assert args.k > 1, "Please select K > 1."
             log.info(f"    Running on K = {args.k}.")

@@ -63,6 +63,69 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
     return [qs[f"k{k}"] for k in sorted(ks)]
 
 
+def infer_q_mesh(params, packed, N: int, ks: List[int], batch_size: int,
+                 mesh_shape) -> List[np.ndarray]:
+    """Sharded projective inference over a (data, snp) device mesh.
+
+    The reference rejects multi-GPU inference outright
+    (/root/reference/neural_admixture/src/inference.py:20-21). Here the
+    encoder pass runs under shard_map with sample rows over ``data`` and V
+    plus each batch's packed SNP columns over ``snp``
+    (parallel.sharded_step.infer_q_sharded, the same op the post-training
+    Q pass uses) -- the path biobank-M checkpoints need, where V alone
+    outgrows one chip. Deviation from the reference documented in
+    PARITY.md.
+    """
+    import os
+
+    import jax
+
+    from .ops import pack as pk
+    from .parallel.mesh import make_mesh, shard_params
+    from .parallel.sharded_step import infer_q_sharded
+
+    n_data, n_snp = mesh_shape
+    mesh = make_mesh(n_data, n_snp,
+                     devices=jax.devices()[:n_data * n_snp])
+    packed = np.asarray(packed)
+    m_pad = packed.shape[1] * 4
+    use_fused = (jax.default_backend() in ("tpu", "axon")
+                 and m_pad % 2048 == 0 and (m_pad // 2048) % n_snp == 0)
+    if os.environ.get("NA_TPU_FORCE_PALLAS") in ("0", "1"):
+        use_fused = (os.environ["NA_TPU_FORCE_PALLAS"] == "1"
+                     and m_pad % 2048 == 0 and (m_pad // 2048) % n_snp == 0)
+    params = dict(params)
+    no_missing = False
+    if use_fused:
+        perm = pk.planar_perm(m_pad)
+        params["V"] = np.asarray(params["V"])[perm]
+        no_missing = not pk.packed_has_missing(packed)
+        data = np.ascontiguousarray(
+            pk.tiles_from_rows(pk.packed_view_u32(packed)))
+        planar = True
+    else:
+        assert packed.shape[1] % n_snp == 0, (
+            f"packed width {packed.shape[1]} bytes is not divisible by the "
+            f"snp mesh axis ({n_snp}); choose a smaller snp axis")
+        data, planar = packed, False
+    params = shard_params(
+        jax.tree.map(jnp.asarray, params), mesh)
+    qs = infer_q_sharded(mesh, params, data, N, planar, batch_size,
+                         no_missing=no_missing)
+    return [qs[f"k{k}"] for k in sorted(ks)]
+
+
+def _resolve_infer_mesh(args):
+    """(n_data, n_snp) from --mesh 'DxS', else --num_gpus N>1 (all
+    data-parallel), else None (single-device inference)."""
+    if getattr(args, "mesh", None):
+        n_data, n_snp = (int(s) for s in args.mesh.lower().split("x"))
+        return (n_data, n_snp) if n_data * n_snp > 1 else None
+    if int(args.num_gpus) > 1:
+        return (int(args.num_gpus), 1)
+    return None
+
+
 def _select_backend(num_gpus: int) -> None:
     """Honor the reference's device-selection semantics for inference
     (/root/reference/neural_admixture/src/inference.py:20-40): --num_gpus 0
@@ -86,11 +149,9 @@ def _select_backend(num_gpus: int) -> None:
 
 def main_infer(args, t0: float) -> int:
     setup_logging()
-    if args.num_gpus > 1:
-        raise ValueError(
-            "Multi-device inference is not supported. Please set --num_gpus "
-            "to 1 (single device) or 0 (CPU).")
-    _select_backend(int(args.num_gpus))
+    mesh_shape = _resolve_infer_mesh(args)
+    if mesh_shape is None:
+        _select_backend(int(args.num_gpus))
 
     try:
         config = load_config(args.name, args.save_dir)
@@ -158,7 +219,13 @@ def main_infer(args, t0: float) -> int:
 
     log.info("    Running inference...")
     ks = [int(k) for k in config["ks"]]
-    Qs = infer_q(params, packed, N, ks, int(args.batch_size))
+    if mesh_shape is not None:
+        log.info(f"    Sharded inference over a {mesh_shape[0]}x"
+                 f"{mesh_shape[1]} (data, snp) mesh.")
+        Qs = infer_q_mesh(params, packed, N, ks, int(args.batch_size),
+                          mesh_shape)
+    else:
+        Qs = infer_q(params, packed, N, ks, int(args.batch_size))
     log.info("    Inference run successfully! Writing outputs...!")
 
     if len(ks) == 1:

@@ -21,6 +21,8 @@ ops.fused_step, the single production op.
 Tiles: TM = 2048 SNPs (= 128 u32 words = one lane row), TB sublanes chosen
 from the batch size. M_pad must be a multiple of 2048 and B a multiple of TB.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -47,6 +49,46 @@ def _interpret() -> bool:
     return _INTERPRET_BY_BACKEND[backend]
 
 
+_TB_WARNED = set()
+
+
+def _heavy_cap(n_heads: int) -> int:
+    default = 400 if n_heads <= 1 else 256
+    env = os.environ.get("NA_TPU_TB_HEAVY", "").strip()
+    if env:
+        try:
+            return int(env)
+        except ValueError:
+            raise ValueError(
+                f"NA_TPU_TB_HEAVY must be an integer, got {env!r}") from None
+    return default
+
+
+def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1) -> int:
+    """Smallest multiple of ``align`` >= B whose heavy-kernel batch tile is
+    at least half the cap.
+
+    Adversarial batch sizes (e.g. 808 = 8 x 101) have no large divisor
+    that is a multiple of 8, so pick_tb degrades to tb=8 -- ~50x the
+    grid-step fixed cost. The engine's per-row sampling already pads
+    batches with zero-weight sentinel rows, so widening the pad to the
+    next well-tiling size is free in semantics and recovers the
+    throughput. Returns the plain 8-aligned round-up if no candidate
+    within +cap rows tiles well (pick_tb then warns)."""
+    cap = _heavy_cap(n_heads)
+    base = ((B + align - 1) // align) * align
+    if base <= cap or align % 8:
+        return base
+    b = base
+    while b <= base + cap:
+        if b % 8 == 0 and any(b % tb == 0
+                              for tb in range(cap, cap // 2 - 1, -8)
+                              if tb % 8 == 0):
+            return b
+        b += align
+    return base
+
+
 def pick_tb(B: int, n_heads: int = 1) -> int:
     """Batch-tile cap for the HEAVY (draw-buffer) kernels (dq_dp / loss):
     largest divisor of B that is a multiple of 8 and <= the cap.
@@ -59,12 +101,27 @@ def pick_tb(B: int, n_heads: int = 1) -> int:
     FAILS to compile (scoped vmem 20.05M > 16M). Multi-head grows ~1M of
     scoped vmem per extra head at tb=400 (a 9-head K=2..10 sweep overflows
     at 17.67M), so multi-head keeps the measured-safe 256 cap.
-    NA_TPU_TB_HEAVY overrides both for A/B."""
-    import os
-    default = 400 if n_heads <= 1 else 256
-    cap = int(os.environ.get("NA_TPU_TB_HEAVY", default))
+
+    NA_TPU_TB_HEAVY overrides both for A/B. The override is read at TRACE
+    time: changing it mid-process has no effect on already-compiled
+    programs (set it before the first jit of the step).
+
+    A batch whose best tile is tiny (no large multiple-of-8 divisor, e.g.
+    808 = 8 x 101 -> tb=8) pays ~cap/tb times the per-grid-step fixed
+    cost; warns once per (B, cap) with the actionable fix (the engine
+    pads per-row batches via pad_batch_for_tiling automatically)."""
+    cap = _heavy_cap(n_heads)
     for tb in range(min(B, cap), 7, -1):
         if tb % 8 == 0 and B % tb == 0:
+            if tb < cap // 4 and B > cap // 2 and (B, cap) not in _TB_WARNED:
+                _TB_WARNED.add((B, cap))
+                from ..utils.logger import log
+                log.warning(
+                    f"    Batch size {B} tiles poorly on the fused kernels "
+                    f"(tile {tb}, cap {cap}): expect up to {cap // tb}x the "
+                    f"per-tile dispatch overhead. Use a batch size with a "
+                    f"large multiple-of-8 divisor (e.g. a multiple of "
+                    f"{cap // 2}).")
             return tb
     raise ValueError(
         f"batch size {B} has no divisor that is a multiple of 8; "
@@ -79,7 +136,8 @@ def pick_tb_wide(B: int) -> int:
     gather+xv 1.86/1.64/1.57 ms at tb 200/400/800), so the light passes
     want the fewest, largest batch tiles the VMEM allows ((1, 1024, TW)
     u32 + (1, D, 1024) f32 blocks are ~0.5 MB). The heavy dq_dp/loss
-    kernels keep pick_tb's 256 cap (draw-buffer register pressure)."""
+    kernels keep pick_tb's smaller caps (400 single-head / 256 multi-head
+    -- draw-buffer scoped-vmem pressure)."""
     for tb in range(min(B, 1024), 7, -1):
         if tb % 8 == 0 and B % tb == 0:
             return tb
@@ -116,7 +174,8 @@ def _bce_terms(q, p, x, mask_rw):
     ``masked`` flag). Exact: padded SNP columns contribute exactly 0 anyway
     (padded P columns are 0 and stay 0 through training, padded packed bits
     decode to x=0, so x*logr = 0*(-100) = 0 and log1p(-0) = 0)."""
-    raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
+    raw = jnp.dot(_dot_in(q), _dot_in(p),
+                  preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     logr = jnp.maximum(jnp.log(rec), _LOG_CLAMP)
     log1mr = jnp.maximum(jnp.log1p(-rec), _LOG_CLAMP)
@@ -126,6 +185,31 @@ def _bce_terms(q, p, x, mask_rw):
     return raw, rec, elem
 
 
+def _use_bf16_dots() -> bool:
+    """Cast MXU dot operands to bf16 (f32 accumulation) in the fused
+    kernels. Measured on v5e @800x1M, K=8: dq/dp BIT-IDENTICAL to the
+    f32-operand program (the MXU reads f32 operands at bf16 precision at
+    the default matmul precision anyway, so the explicit cast changes no
+    math) and ~30% faster per dq_dp call -- halved operand VMEM traffic
+    and single-pass-friendly layouts (tools/tune_bf16.py: 13.66 ->
+    9.55 ms/call incl. dispatch). Default ON on TPU. Interpret mode keeps
+    f32 operands: CPU matmuls are exact f32, so casting there WOULD
+    change numerics. NA_TPU_DOT_BF16=0 forces f32 operands on TPU;
+    =1 forces the cast even in interpret mode (tests pin the production
+    branch with it)."""
+    env = os.environ.get("NA_TPU_DOT_BF16")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return not _interpret()
+
+
+def _dot_in(x):
+    """Operand cast for the MXU dots (see _use_bf16_dots)."""
+    return x.astype(jnp.bfloat16) if _use_bf16_dots() else x
+
+
 def _use_fast_recip() -> bool:
     """Approximate reciprocal in the BCE backward: measured 26% faster per
     backward pass on v5e with max 8e-6 relative gradient error
@@ -133,7 +217,6 @@ def _use_fast_recip() -> bool:
     NA_TPU_EXACT_DIV=0 forces the approx path even in interpret mode (used
     by tests to pin the production branch); unset -> approx on TPU, exact
     in interpret mode."""
-    import os
     env = os.environ.get("NA_TPU_EXACT_DIV")
     if env == "1":
         return False
@@ -152,7 +235,8 @@ def _draw_tile(q, p, x, mask_rw, with_loss=False):
     ``with_loss=True`` additionally returns the elementwise BCE loss (the
     decode matmul and clamp are computed once for both) -- the merged
     loss+dq+dp kernel for logged epochs; returns (draw, elem)."""
-    raw = jnp.dot(q, p, preferred_element_type=jnp.float32)
+    raw = jnp.dot(_dot_in(q), _dot_in(p),
+                  preferred_element_type=jnp.float32)
     rec = jnp.clip(raw, 0.0, 1.0)
     denom = jnp.maximum(rec * (1.0 - rec), _GRAD_EPS)
     if _use_fast_recip():

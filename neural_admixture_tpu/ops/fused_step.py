@@ -52,8 +52,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models import qp
-from .fused import (TM, TW, _draw_tile, _bce_terms, _interpret, _unpack_x,
-                    pick_tb, pick_tb_wide)
+from .fused import (TM, TW, _dot_in, _draw_tile, _bce_terms, _interpret,
+                    _unpack_x, pick_tb, pick_tb_wide)
 
 
 def _encoder_apply(enc_params, Xp, head_keys: List[str]):
@@ -99,7 +99,7 @@ def _xv_kernel(no_missing, g_ops=1):
             out_ref[:] = jnp.zeros_like(out_ref)
         x = _unpack_cat(u_refs, no_missing)
         out_ref[0] += jax.lax.dot_general(
-            vt_ref[:], x, (((1,), (1,)), ((), ())),
+            _dot_in(vt_ref[:]), _dot_in(x), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     return kernel
 
@@ -166,7 +166,7 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
                                                 dp_refs):
             q = q_ref[:]
             tb = q.shape[0]
-            draw = _draw_tile(q, p_ref[:], x, mask_rw)
+            draw = _dot_in(_draw_tile(q, p_ref[:], x, mask_rw))
             # dq transposed (k, tb): the small head dim on sublanes, batch
             # on lanes -- a (tb, k<=few) result uses k of 128 lanes of every
             # VMEM tile and store. The full (nB, k, tb) output is resident
@@ -174,7 +174,7 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
             # only the leading (untiled) dim is indexed dynamically, which
             # Mosaic lowers as a plain block offset.
             dqt_blk = jax.lax.dot_general(
-                p_ref[:], draw, (((1,), (1,)), ((), ())),
+                _dot_in(p_ref[:]), draw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
             @pl.when(j == 0)
@@ -191,7 +191,7 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
             # dp wants g * q^T draw; scaling the tiny (tb, k) q is far
             # cheaper than scaling the (tb, TM) draw.
             dp_ref[:] += jax.lax.dot_general(
-                q * g, draw, (((0,), (0,)), ((), ())),
+                _dot_in(q * g), draw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     return kernel
 
@@ -233,9 +233,10 @@ def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
                                                 dp_refs):
             q = q_ref[:]
             draw, elem = _draw_tile(q, p_ref[:], x, mask_rw, with_loss=True)
+            draw = _dot_in(draw)
             total += jnp.sum(elem)
             dqt_blk = jax.lax.dot_general(
-                p_ref[:], draw, (((1,), (1,)), ((), ())),
+                _dot_in(p_ref[:]), draw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
             @pl.when(j == 0)
@@ -250,7 +251,7 @@ def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
             def _(dp_ref=dp_ref):
                 dp_ref[:] = jnp.zeros_like(dp_ref)
             dp_ref[:] += jax.lax.dot_general(
-                q, draw, (((0,), (0,)), ((), ())),
+                _dot_in(q), draw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         loss_ref[0, 0] += total
     return kernel
@@ -272,7 +273,7 @@ def _dvt_kernel(no_missing, g_ops=1):
             dvt_ref[:] = jnp.zeros_like(dvt_ref)
         x = _unpack_cat(u_refs, no_missing)
         dvt_ref[:] += jax.lax.dot_general(
-            dxp_ref[:], x, (((0,), (0,)), ((), ())),
+            _dot_in(dxp_ref[:]), _dot_in(x), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return kernel
 

@@ -88,8 +88,8 @@ def shutdown_distributed() -> None:
             pass
 
 
-def host_sample_shard(N: int, data_axis_size: Optional[int] = None
-                      ) -> Tuple[int, int, int]:
+def host_sample_shard(N: int, data_axis_size: Optional[int] = None,
+                      quantum: int = 1) -> Tuple[int, int, int]:
     """This host's sample-row block: (start, end, rows_per_process).
 
     Rows [start, end) of the dataset belong to this process; its resident
@@ -99,15 +99,19 @@ def host_sample_shard(N: int, data_axis_size: Optional[int] = None
     each process block to jax.make_array_from_process_local_data unchanged.
 
     ``data_axis_size``: the mesh's data-axis extent (defaults to all
-    devices, the auto-mesh case). The reference instead loads the full
-    matrix into every process's shared memory (entry.py:186) -- untenable
-    at biobank scale.
+    devices, the auto-mesh case). ``quantum``: extra alignment of the
+    global padded row count -- block sampling needs resident rows to tile
+    exactly into whole batches of whole blocks (engine.block_geometry's
+    lcm(batch_align, d_sz * blk); use engine's
+    NeuralAdmixtureTrainer.sample_shard, which supplies it). The reference
+    instead loads the full matrix into every process's shared memory
+    (entry.py:186) -- untenable at biobank scale.
     """
     p, n_proc = jax.process_index(), jax.process_count()
     d_sz = data_axis_size or jax.device_count()
     assert d_sz % n_proc == 0, (
         f"data axis ({d_sz}) must spread evenly over {n_proc} processes")
-    quantum = np.lcm(d_sz, n_proc)
+    quantum = np.lcm(np.lcm(d_sz, n_proc), quantum)
     n_pad = ((N + quantum - 1) // quantum) * quantum
     rows_pp = n_pad // n_proc
     # With more padding than rows_pp (tiny N, many processes) a tail

@@ -133,6 +133,35 @@ def batch_align(use_pallas: bool, mesh) -> int:
     return align
 
 
+def shard_quantum(use_pallas: bool, d_sz: int, blk: int) -> int:
+    """block_geometry's row-alignment quantum, computable without a mesh
+    object: batch_align == (8 if pallas else 1) * d_sz in every case."""
+    return int(np.lcm((8 if use_pallas else 1) * d_sz, d_sz * blk))
+
+
+def shard_row_order(N: int, seed: int, n_proc: int, rows_pp: int
+                    ) -> np.ndarray:
+    """Global resident-row -> input-row map under PER-PROCESS pre-shuffle.
+
+    Block sampling pre-shuffles resident rows so each `sample_block`-row
+    block is a random population mixture. Multi-process, rows cannot move
+    between hosts (each host read only its own input-row block from disk),
+    so each process shuffles its LOCAL block independently; seeding each
+    local permutation by (seed, process) lets every process reconstruct
+    the full map -- needed to restore input order in Q/pops -- without
+    communication. Real resident rows stay globally contiguous at [0, N)
+    because only the tail process's block is partial (host_sample_shard).
+    """
+    parts = []
+    for p in range(n_proc):
+        s = min(p * rows_pp, N)
+        e = min(s + rows_pp, N)
+        if e > s:
+            parts.append(s + np.random.default_rng([seed, p])
+                         .permutation(e - s))
+    return np.concatenate(parts)
+
+
 def block_geometry(N: int, batch_size: int, use_pallas: bool, mesh,
                    blk: int) -> Tuple[int, int, int, int]:
     """(b_round, nb, b_rem, resident_rows) for block sampling (blk > 1).
@@ -210,9 +239,18 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     else:
         align = batch_align(use_pallas, mesh)
         nb = (N + batch_size - 1) // batch_size
-        b_round = ((batch_size + align - 1) // align) * align
         rem = N - (nb - 1) * batch_size
-        b_rem = ((rem + align - 1) // align) * align
+        if use_pallas:
+            # Per-row batches carry zero-weight sentinel padding anyway;
+            # widen it to the next well-tiling width so adversarial batch
+            # sizes (808 = 8 x 101 -> tb 8) keep large kernel tiles.
+            from ..ops.fused import pad_batch_for_tiling
+            n_heads = len(params_template["heads"]) if params_template else 1
+            b_round = pad_batch_for_tiling(batch_size, align, n_heads)
+            b_rem = pad_batch_for_tiling(rem, align, n_heads)
+        else:
+            b_round = ((batch_size + align - 1) // align) * align
+            b_rem = ((rem + align - 1) // align) * align
 
     # Full batches contain only real rows: with block sampling the partial
     # block is routed to the remainder; with per-row sampling the first
@@ -505,16 +543,42 @@ class NeuralAdmixtureTrainer:
         else:
             data_host = packed_np
 
+        import os
         blk = max(1, cfg.sample_block)
         self._row_order = None
-        if blk > 1 and n_proc > 1:
-            # The resident pre-shuffle would have to span host row blocks;
-            # fall back to per-row sampling until that is implemented.
-            if self.master:
-                log.info("    sample_block > 1 is single-process only; "
-                         "falling back to per-row sampling.")
-            blk = 1
-        if blk > 1:
+        emul = os.environ.get("NA_TPU_EMULATE_PROC_SHARDS")
+        if blk > 1 and (n_proc > 1 or emul):
+            # Multi-process block sampling: per-process pre-shuffle of the
+            # LOCAL row block (see shard_row_order); the seeded global
+            # block permutation inside the epoch fn is identical on every
+            # process, and block gathers are global dynamic slices on the
+            # assembled resident array, so blocks from all hosts mix in
+            # every batch. NA_TPU_EMULATE_PROC_SHARDS="P,D" (test-only)
+            # makes a single-process run reproduce the exact resident
+            # layout of a P-process run over a D-wide data axis, enabling
+            # exact multi/single comparisons (the sampling POLICY differs
+            # from the single-process global pre-shuffle, so plain runs
+            # are not bitwise-comparable across process counts).
+            if n_proc > 1:
+                ep, d_sz = n_proc, mesh.shape[DATA_AXIS]
+            else:
+                ep, d_sz = (int(s) for s in emul.split(","))
+            q = shard_quantum(use_pallas, d_sz, blk)
+            q_pp = int(np.lcm(np.lcm(d_sz, ep), q))
+            rows_pp = ((N + q_pp - 1) // q_pp) * q_pp // ep
+            self._row_order = shard_row_order(N, cfg.seed, ep, rows_pp)
+            if n_proc > 1:
+                p = jax.process_index()
+                s = min(p * rows_pp, N)
+                e = min(s + rows_pp, N)
+                assert data_host.shape[0] >= e - s, (data_host.shape, s, e)
+                local_perm = self._row_order[s:e] - s
+                data_host = np.ascontiguousarray(
+                    data_host[:e - s][local_perm])
+            else:
+                data_host = np.ascontiguousarray(
+                    data_host[self._row_order])
+        elif blk > 1:
             # One-time host pre-shuffle: with block-granular sampling,
             # contiguous resident rows form the sampling unit; shuffling
             # once makes every block a random population mixture regardless
@@ -534,10 +598,14 @@ class NeuralAdmixtureTrainer:
                 "each process must own whole (data) rows of the mesh: "
                 f"local devices {jax.local_device_count()} not divisible by "
                 f"snp axis {mesh.shape[SNP_AXIS]}")
-            start, end, rows_pp = host_sample_shard(N, mesh.shape[DATA_AXIS])
+            start, end, rows_pp = host_sample_shard(
+                N, mesh.shape[DATA_AXIS],
+                quantum=(shard_quantum(use_pallas, mesh.shape[DATA_AXIS], blk)
+                         if blk > 1 else 1))
             assert host_rows == (start, end), (
                 f"launch_training got rows {host_rows} but this process owns "
-                f"[{start}, {end}) -- read the data with host_sample_shard")
+                f"[{start}, {end}) -- read the data with "
+                "NeuralAdmixtureTrainer.sample_shard")
             n_local = end - start
             assert data_host.shape[0] >= n_local, (data_host.shape, n_local)
             data_host = data_host[:n_local]
@@ -564,12 +632,14 @@ class NeuralAdmixtureTrainer:
                     [data_host, np.zeros((d_sz - N % d_sz, data_host.shape[1]),
                                          data_host.dtype)], axis=0)
             n_rows_global = data_host.shape[0]
-        resident_rows = data_host.shape[0]
+        # The epoch fn samples the GLOBAL resident array (local rows are
+        # only this process's shard of it).
+        resident_rows = (n_rows_global if n_proc > 1
+                         else data_host.shape[0])
         # Pre-flight HBM estimate: resident packed genotypes + SNP-plane
         # training state per chip. An allocator OOM here is opaque; warn
         # with the actionable fix (a bigger mesh) instead. Capacity
         # default: 16 GiB (v5e); override via NA_TPU_HBM_CAPACITY_GB.
-        import os
         cap_gb = float(os.environ.get("NA_TPU_HBM_CAPACITY_GB", "16"))
         n_chips = 1 if mesh is None else mesh.size
         n_snp_ax = 1 if mesh is None else mesh.shape[SNP_AXIS]
@@ -894,6 +964,20 @@ class NeuralAdmixtureTrainer:
         (parallel.distributed.host_sample_shard) before any data is read."""
         mesh = self._pick_mesh(m_pad, _use_pallas(self.cfg))
         return mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+    def sample_shard(self, m_pad: int, N: int) -> Tuple[int, int, int]:
+        """This process's input row block (start, end, rows_per_process),
+        including the block-sampling row quantum (resident rows must tile
+        exactly into whole batches of whole sample blocks; see
+        block_geometry). The input pipeline MUST use this (not a bare
+        host_sample_shard) so reads line up with launch_training's
+        assembly."""
+        from ..parallel.distributed import host_sample_shard
+        use_pallas = _use_pallas(self.cfg)
+        d_sz = self.data_axis_size(m_pad)
+        blk = max(1, self.cfg.sample_block)
+        q = shard_quantum(use_pallas, d_sz, blk) if blk > 1 else 1
+        return host_sample_shard(N, d_sz, quantum=q)
 
     def _pick_mesh(self, m_pad: int, use_pallas: bool):
         """Resolve the device mesh: explicit cfg.mesh_shape, or the auto

@@ -101,7 +101,7 @@ def main_train(args, t0: float) -> int:
             from math import ceil
             from ..io.bed import (flip_packed_minor_allele,
                                   rezero_flip_padding)
-            from ..parallel.distributed import allsum_hosts, host_sample_shard
+            from ..parallel.distributed import allsum_hosts
             if ".bed" in suffixes:
                 from ..io.bed import read_bed_dims, read_bed_packed_rows
                 log.info("    Input format is BED.")
@@ -112,8 +112,7 @@ def main_train(args, t0: float) -> int:
                 log.info("    Input format is PGEN.")
                 N, M = pgen_dims(args.data_path)
                 read_rows = read_pgen_packed_rows
-            d_sz = trainer.data_axis_size(ceil(M / 2048) * 2048)
-            start, end, _ = host_sample_shard(N, d_sz)
+            start, end, _ = trainer.sample_shard(ceil(M / 2048) * 2048, N)
             host_rows = (start, end)
             packed, counts_local = read_rows(args.data_path, start, end)
             # The minor-allele flip needs the GLOBAL dosage mean.

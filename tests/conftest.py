@@ -17,6 +17,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-DEMO_BED = "/root/reference/demo/data/demo_data.bed"
-DEMO_Q_EXPECTED = "/root/reference/demo/outputs/demo_run.7.Q.expected"
-DEMO_P_EXPECTED = "/root/reference/demo/outputs/demo_run.7.P.expected"
+# Demo fixtures vendored from the reference's demo/ data set (identical
+# bytes; the repo is self-contained without the reference checkout).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO_BED = os.path.join(_REPO, "demo/data/demo_data.bed")
+DEMO_Q_EXPECTED = os.path.join(_REPO, "demo/expected/demo_run.7.Q.expected")
+DEMO_P_EXPECTED = os.path.join(_REPO, "demo/expected/demo_run.7.P.expected")

@@ -157,12 +157,80 @@ def test_fast_recip_backward_matches_exact(monkeypatch):
                                rtol=5e-3, atol=5e-2)
 
 
+def test_bf16_dot_operands_match_f32(monkeypatch):
+    """Pin the production bf16-dot-operand branch (fused._use_bf16_dots):
+    force it on in interpret mode and compare against f32 operands. On
+    real TPU the two are BIT-identical (the MXU truncates f32 operands to
+    bf16 at default precision anyway -- tools/tune_bf16.py measured
+    rel err 0.0). In interpret mode CPU matmuls are exact f32, so the
+    forced cast exposes bf16 truncation itself; the loss tracks it at
+    ~1e-2 relative, but dq/dp amplify it without bound wherever raw
+    lands near the [0, 1] clamp boundary ((rec-x)/max(rec(1-rec), eps)
+    explodes and the in-range mask can flip), so the gradients are only
+    sanity-checked here -- their TPU equivalence is the measured claim."""
+    G, tiles, perm, Q, P, cm, rw, m_pad = _setup()
+    permj = jnp.asarray(perm)
+    Pp, cmp_ = P[:, permj], cm[permj]
+    cm2, rw2 = cmp_.reshape(1, -1), rw.reshape(-1, 1)
+    tb = pick_tb(Q.shape[0])
+    one = jnp.float32(1.0)
+
+    monkeypatch.setenv("NA_TPU_DOT_BF16", "0")
+    loss_f = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_f,), (dp_f,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
+    monkeypatch.setenv("NA_TPU_DOT_BF16", "1")
+    loss_b = fs._loss_call([Q], [Pp], tiles, cm2, rw2, tb)
+    (dq_b,), (dp_b,) = fs._dq_dp_call([Q], [Pp], tiles, cm2, rw2, one, tb)
+
+    np.testing.assert_allclose(float(loss_b), float(loss_f), rtol=2e-2)
+    for b, f in ((dq_b, dq_f), (dp_b, dp_f)):
+        b, f = np.asarray(b), np.asarray(f)
+        assert b.shape == f.shape and np.isfinite(b).all()
+        # bulk agreement: median relative deviation stays at bf16 scale
+        rel = np.abs(b - f) / (np.abs(f) + 1e-3)
+        assert np.median(rel) < 2e-2, float(np.median(rel))
+
+
 def test_pick_tb():
     assert pick_tb(800) == 400
     assert pick_tb(1024) == 256
     assert pick_tb(256) == 256
     assert pick_tb(8) == 8
     assert pick_tb(24) == 24
+
+
+def test_pad_batch_for_tiling_adversarial():
+    """808 = 8 x 101 has no large multiple-of-8 divisor (tb degrades to
+    8); the engine's per-row pad must find a nearby width that tiles at
+    >= cap/2, and must leave well-tiling sizes untouched (800 stays 800,
+    preserving the unmasked fast path)."""
+    from neural_admixture_tpu.ops.fused import pad_batch_for_tiling
+
+    assert pad_batch_for_tiling(800, 8) == 800
+    assert pad_batch_for_tiling(64, 8) == 64        # <= cap: one tile
+    assert pad_batch_for_tiling(1000, 8) == 1000    # tb 200 already ok
+    b = pad_batch_for_tiling(808, 8)
+    assert b >= 808 and b % 8 == 0 and pick_tb(b) >= 200
+    b3 = pad_batch_for_tiling(808, 8, n_heads=3)    # multi-head cap 256
+    assert b3 >= 808 and pick_tb(b3, 3) >= 128
+    # alignment (e.g. 8 * d_sz on a mesh) is preserved
+    assert pad_batch_for_tiling(808, 16) % 16 == 0
+
+
+def test_pick_tb_warns_on_poor_tiling(caplog):
+    import logging
+
+    from neural_admixture_tpu.ops import fused
+
+    fused._TB_WARNED.clear()
+    with caplog.at_level(logging.WARNING):
+        assert pick_tb(808) == 8
+    assert any("tiles poorly" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        pick_tb(808)  # warned once per (B, cap) only
+        assert pick_tb(800) == 400
+    assert not any("tiles poorly" in r.message for r in caplog.records)
 
 
 def test_packed_has_missing():

@@ -64,3 +64,21 @@ def test_cli_infer_q_fused_matches_xla(monkeypatch):
     qs_f = infer_q(params, packed, G.shape[0], [3], batch_size=8)
     for a, b in zip(qs_x, qs_f):
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mesh_shape,pallas", [((2, 2), False),
+                                               ((4, 1), False),
+                                               ((2, 2), True)])
+def test_infer_q_mesh_matches_single_device(monkeypatch, mesh_shape, pallas):
+    """Sharded projective inference (infer --mesh DxS / --num_gpus N>1,
+    a capability the reference rejects, src/inference.py:20-21) must
+    reproduce the single-device Q on the virtual CPU mesh -- on the XLA
+    path and through the fused xv kernel (interpret mode)."""
+    from neural_admixture_tpu.infer import infer_q, infer_q_mesh
+
+    G, packed, params, _ = _setup(N=30, M=512, ks=(3,))
+    monkeypatch.setenv("NA_TPU_FORCE_PALLAS", "1" if pallas else "0")
+    qs_1 = infer_q(params, packed, G.shape[0], [3], batch_size=16)
+    qs_m = infer_q_mesh(params, packed, G.shape[0], [3], 16, mesh_shape)
+    for a, b in zip(qs_1, qs_m):
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)

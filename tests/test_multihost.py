@@ -1,13 +1,28 @@
-"""Two-process distributed training must reproduce the single-process run.
+"""Multi-process distributed training must reproduce the single-process run.
 
-Spawns two REAL processes running the production CLI, rendezvousing through
-jax.distributed (gloo collectives on CPU, one device per process -> a (2, 1)
-mesh). Each process reads only its BED row block (io.bed.read_bed_packed_rows
-via parallel.distributed.host_sample_shard), the engine assembles the global
+Spawns REAL processes running the production CLI, rendezvousing through
+jax.distributed (gloo collectives on CPU). Each process reads only its BED
+row block (io.bed.read_bed_packed_rows via
+engine.NeuralAdmixtureTrainer.sample_shard), the engine assembles the global
 resident array with jax.make_array_from_process_local_data, and only rank 0
 writes outputs. This is the working analogue of the reference's multi-GPU
 mp.spawn path (/root/reference/neural_admixture/entry.py:188-193) -- but
 multi-HOST, which the reference cannot do.
+
+Two configurations:
+  * (2 procs x 1 device) = a (2, 1) all-data mesh, per-row sampling,
+    vs a plain single-process run. The engine path is bit-exact on the
+    XLA backend; the only cross-run difference is the RSVD/GMM init,
+    whose cross-host partial accumulation (ops.rsvd rows= path) sums in
+    a different order than the single-host GEMM -- last-ulp V
+    differences that 6 Adam epochs amplify slightly, hence the tight
+    but non-zero tolerance.
+  * (2 procs x 2 devices) = a (2, 2) data x snp mesh with BLOCK sampling
+    (--sample_block 16): the TPU-pod configuration, pinning per-process
+    pre-shuffle (engine.shard_row_order), tile/row-block global-array
+    assembly under P(data, snp), and the snp-axis psums, vs a
+    single-process 4-device run emulating the same resident layout
+    (NA_TPU_EMULATE_PROC_SHARDS).
 """
 import os
 import socket
@@ -31,38 +46,47 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _cli(out_dir, name):
-    return [sys.executable, "-m", "neural_admixture_tpu.entry", "train",
-            "--k", str(K), "--data_path", DEMO_BED, "--save_dir",
-            str(out_dir), "--name", name, "--epochs", str(EPOCHS),
-            "--seed", str(SEED), "--batch_size", str(BATCH),
-            "--hidden_size", str(HIDDEN), "--no_progress",
-            # multi-process falls back to per-row sampling; the
-            # single-process reference must sample the same way
-            "--sample_block", "1"]
+def _cli(out_dir, name, data=DEMO_BED, sample_block=1, mesh=None):
+    cmd = [sys.executable, "-m", "neural_admixture_tpu.entry", "train",
+           "--k", str(K), "--data_path", str(data), "--save_dir",
+           str(out_dir), "--name", name, "--epochs", str(EPOCHS),
+           "--seed", str(SEED), "--batch_size", str(BATCH),
+           "--hidden_size", str(HIDDEN), "--no_progress",
+           "--sample_block", str(sample_block)]
+    if mesh:
+        cmd += ["--mesh", mesh]
+    return cmd
 
 
-def _env(extra):
+def _env(extra, devices=1):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    env["JAX_PLATFORMS"] = "cpu"  # 1 CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    if devices > 1:
+        env["XLA_FLAGS"] = \
+            f"--xla_force_host_platform_device_count={devices}"
     env.update(extra)
     return env
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    single, multi = tmp_path / "single", tmp_path / "multi"
+def _spawn_pair(cmd_builder, devices=1):
     coord = f"127.0.0.1:{_free_port()}"
-
     procs = [subprocess.Popen(
-        _cli(multi, "mh"), env=_env({
+        cmd_builder(), env=_env({
             "NA_TPU_COORDINATOR": coord,
             "NA_TPU_NUM_PROCESSES": "2",
             "NA_TPU_PROCESS_ID": str(pid),
-        }), stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        }, devices=devices),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (1, 0)]
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    return outs
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    single, multi = tmp_path / "single", tmp_path / "multi"
+    outs = _spawn_pair(lambda: _cli(multi, "mh"))
 
     # Per-host row blocks and master-only writes must both have happened.
     rank0_log = outs[1]
@@ -78,5 +102,59 @@ def test_two_process_training_matches_single_process(tmp_path):
     Q2 = np.loadtxt(multi / f"mh.{K}.Q")
     P1 = np.loadtxt(single / f"sp.{K}.P")
     P2 = np.loadtxt(multi / f"mh.{K}.P")
-    np.testing.assert_allclose(Q2, Q1, rtol=5e-3, atol=5e-4)
-    np.testing.assert_allclose(P2, P1, rtol=5e-3, atol=5e-4)
+    # XLA-path engine is bit-exact across process counts; the residual
+    # tolerance covers only the init's cross-host accumulation order.
+    np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)
+
+
+def _write_synthetic_bed(path, N=120, M=256, seed=11):
+    """BED fileset with M % 8 == 0 so a 2-wide snp axis divides the packed
+    width (engine._pick_mesh's m_pad % (n_snp * 4) requirement on the XLA
+    path; the demo BED's M=8451 does not)."""
+    rng = np.random.default_rng(seed)
+    G = rng.integers(0, 3, size=(N, M)).astype(np.uint8)
+    code_of = np.array([3, 2, 0, 1], dtype=np.uint8)  # dosage -> BED code
+    nb = (N + 3) // 4
+    B = np.zeros((M, nb), dtype=np.uint8)
+    for n in range(N):
+        B[:, n // 4] |= code_of[G[n]] << np.uint8(2 * (n % 4))
+    with open(path, "wb") as f:
+        f.write(b"\x6c\x1b\x01" + B.tobytes())
+    stem = str(path)[:-4]
+    with open(stem + ".fam", "w") as f:
+        f.writelines(f"f{i} i{i} 0 0 0 -9\n" for i in range(N))
+    with open(stem + ".bim", "w") as f:
+        f.writelines(f"1 snp{j} 0 {j} A C\n" for j in range(M))
+    return G
+
+
+def test_two_process_block_sampling_snp_mesh(tmp_path):
+    """2 procs x 2 local devices on a (2, 2) mesh with --sample_block 16
+    must match a single 4-device process emulating the same per-process
+    resident layout. Pins the untested pod configuration: cross-process
+    global-array assembly under the P(data, snp) batch spec plus the
+    snp-axis collectives, with block sampling active (no fallback)."""
+    bed = tmp_path / "syn.bed"
+    _write_synthetic_bed(bed)
+    single, multi = tmp_path / "single", tmp_path / "multi"
+
+    outs = _spawn_pair(
+        lambda: _cli(multi, "mh", data=bed, sample_block=16, mesh="2x2"),
+        devices=2)
+    assert (multi / "mh.2.Q").exists()
+    for out in outs:
+        assert "falling back to per-row sampling" not in out
+
+    ref = subprocess.run(
+        _cli(single, "sp", data=bed, sample_block=16, mesh="2x2"),
+        env=_env({"NA_TPU_EMULATE_PROC_SHARDS": "2,2"}, devices=4),
+        timeout=420, capture_output=True, text=True)
+    assert ref.returncode == 0, ref.stdout[-3000:] + ref.stderr[-2000:]
+
+    Q1 = np.loadtxt(single / f"sp.{K}.Q")
+    Q2 = np.loadtxt(multi / f"mh.{K}.Q")
+    P1 = np.loadtxt(single / f"sp.{K}.P")
+    P2 = np.loadtxt(multi / f"mh.{K}.P")
+    np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)

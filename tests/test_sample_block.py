@@ -68,6 +68,37 @@ def test_multibatch_block_run_is_valid():
         assert np.isfinite(p).all() and p.min() >= 0 and p.max() <= 1
 
 
+def test_shard_row_order_is_blockwise_permutation():
+    """Per-process pre-shuffle: a permutation of [0, N) that moves no row
+    across process-block boundaries (rows cannot leave their host)."""
+    from neural_admixture_tpu.train.engine import shard_row_order
+    order = shard_row_order(105, 7, 2, 64)
+    assert sorted(order) == list(range(105))
+    assert set(order[:64]) == set(range(64))
+    assert set(order[64:]) == set(range(64, 105))
+    # deterministic per (seed, process): same seed -> same map
+    np.testing.assert_array_equal(order,
+                                  shard_row_order(105, 7, 2, 64))
+    # tail process owning only padding contributes nothing
+    assert len(shard_row_order(10, 0, 4, 8)) == 10
+
+
+def test_emulated_shard_preshuffle_single_batch_invariance(monkeypatch):
+    """With one batch covering every sample the loss is a plain row sum,
+    so training is invariant to the resident layout: the emulated
+    per-process pre-shuffle (NA_TPU_EMULATE_PROC_SHARDS, the layout a
+    2-process run uses) must reproduce the per-row-shuffle run, pinning
+    the Q/pops un-shuffle through shard_row_order."""
+    G, V, P_init, pops = _mk_data(supervised=True)
+    Qs_1, Ps_1, _ = _run(G, V, P_init, [3], 1, False, batch=64, pops=pops)
+    monkeypatch.setenv("NA_TPU_EMULATE_PROC_SHARDS", "2,2")
+    Qs_e, Ps_e, _ = _run(G, V, P_init, [3], 4, False, batch=64, pops=pops)
+    for q1, qe in zip(Qs_1, Qs_e):
+        np.testing.assert_allclose(qe, q1, rtol=2e-4, atol=2e-5)
+    for p1, pe in zip(Ps_1, Ps_e):
+        np.testing.assert_allclose(pe, p1, rtol=2e-4, atol=2e-5)
+
+
 def test_block_geometry_invariants():
     """Resident rows must tile into exactly nb-1 full batches plus one
     remainder batch of whole aligned blocks, the step count must equal

@@ -4,9 +4,14 @@ log-likelihood (BASELINE.md "epochs-to-match" row).
 
 Trains the reference demo dataset (105 x 8451, K=7) in resumable segments
 (exercising the checkpoint/resume path) and scores the log-likelihood of
-the trained (Q, P) after each segment against the LL of the reference's
-shipped expected outputs (/root/reference/demo/outputs/*.expected), which
-score ~-326,814 on the demo data. Prints one JSON line:
+the trained (Q, P) after each segment against the CONVERGED reference
+target: the reference architecture trained to its own 250-epoch default on
+the demo reaches LL = -301,867.5 (plateau ~-301,870 from ~epoch 100;
+measured by tools/reference_convergence.py, torch CPU, seed 42). "Matched"
+means within 0.01% of that (LL >= -301,897.7) -- both runs fluctuate a few
+LL units around their plateaus. The reference's shipped 5-epoch golden
+outputs score only ~-326,814; NA_CONV_TARGET=golden selects that easier
+legacy bar. Prints one JSON line:
 
   {"metric": "epochs_to_match_ll", "value": E, "unit": "epochs",
    "final_ll": ..., "target_ll": ..., "ll_curve": [[epoch, ll], ...]}
@@ -17,6 +22,7 @@ Environment overrides:
   NA_CONV_DATA     BED path (default: the reference demo)
   NA_CONV_K        K (default 7)
   NA_CONV_BLOCK    engine sample_block (gather granularity experiment)
+  NA_CONV_TARGET   'converged' (default) | 'golden' (5-epoch expected files)
 """
 import json
 import os
@@ -38,9 +44,14 @@ from neural_admixture_tpu.train.init import init_p_unsupervised  # noqa: E402
 from neural_admixture_tpu.utils.platform import (  # noqa: E402
     enable_compile_cache, sync_platform_from_env)
 
-DEMO = "/root/reference/demo/data/demo_data.bed"
-EXPECTED_Q = "/root/reference/demo/outputs/demo_run.7.Q.expected"
-EXPECTED_P = "/root/reference/demo/outputs/demo_run.7.P.expected"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEMO = os.path.join(_REPO, "demo/data/demo_data.bed")
+EXPECTED_Q = os.path.join(_REPO, "demo/expected/demo_run.7.Q.expected")
+EXPECTED_P = os.path.join(_REPO, "demo/expected/demo_run.7.P.expected")
+# tools/reference_convergence.py @ 250 epochs (the reference CLI default),
+# demo data, K=7, seed 42; "matched" = within this relative slack of it.
+REF_CONVERGED_LL = -301867.5
+CONV_SLACK = 1e-4
 
 
 def synth_admixed(n: int, m: int, k: int, seed: int):
@@ -85,15 +96,19 @@ def main() -> int:
             np.ascontiguousarray(Q_true.astype(np.float64))))
     else:
         packed, N, M = read_bed_packed(data_path)
-        # Target: the reference's shipped golden outputs on this data.
-        if data_path == DEMO:
+        if data_path != DEMO:
+            target_ll = float("nan")
+        elif os.environ.get("NA_CONV_TARGET") == "golden":
+            # Legacy bar: the reference's shipped 5-epoch golden outputs.
             Qe = np.genfromtxt(EXPECTED_Q)
             Pe = np.genfromtxt(EXPECTED_P)
             target_ll = float(loglikelihood_packed(
                 packed, M, np.ascontiguousarray(Pe.astype(np.float64)),
                 np.ascontiguousarray(Qe.astype(np.float64))))
         else:
-            target_ll = float("nan")
+            # The real bar: the converged 250-epoch reference, with the
+            # documented plateau slack.
+            target_ll = REF_CONVERGED_LL - CONV_SLACK * abs(REF_CONVERGED_LL)
     V = rsvd(packed, N, M, 8, seed)
     P_init = init_p_unsupervised(packed, V, N, M, [K], seed)
 

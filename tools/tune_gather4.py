@@ -7,7 +7,8 @@ steps), not DMA size. Two consequences tested here, in-scan with
 carry-dependent operands and the resident array as an explicit jit arg
 (a closed-over 1GB operand makes the scan compile hang for 20+ min):
 
-  A. gathered xv at tb=200 (pick_tb cap) vs 400/800 -- fewer grid steps.
+  A. gathered xv at tb=200 (the then-current pick_tb cap; since raised to
+     400 single-head / 256 multi-head) vs 400/800 -- fewer grid steps.
   B. indexed (gather-free) xv reading G sampled blk=16 blocks per grid
      step (G scattered DMAs, concat on sublanes, one dot) -- keeps
      sampling granularity at 16 rows while matching the gathered path's
