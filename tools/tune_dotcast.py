@@ -6,8 +6,12 @@ Claims to verify on real TPU at the bench workload (800 x 1M, K=8):
      loss and gradients to NA_TPU_DOT_BF16=0 -- the MXU reads f32 dot
      operands at bf16 precision by default, so the explicit cast changes
      no math, only operand traffic.
-  2. The in-scan step time drops (tools/tune_bf16.py isolated the dq_dp
-     call at -30%).
+  2. The in-scan step time (MEASURED 2026-08-19: no end-to-end change --
+     9.58 ms f32 vs 9.83 ms bf16 operands, within tunnel variance, and
+     loss bit-identical. The -30% seen on the isolated dq_dp call in
+     tools/tune_bf16.py does not transfer to the in-scan program; the
+     cast is kept because it is free, bit-identical, and halves operand
+     VMEM traffic, but the dq_dp wall is the VPU chain, not the MXU.)
 
 In-scan timing: the scan body must be carry-dependent or XLA hoists it
 (CLAUDE.md hazard); params are advanced by a tiny grad step each iter.
@@ -94,7 +98,7 @@ for flag in ("0", "1"):
 l0, g0, _ = results["0"]
 l1, g1, _ = results["1"]
 print("loss bit-identical:", l0 == l1)
-leaves0 = jax.tree.util.tree_leaves_with_path(g0)
+leaves0 = jax.tree_util.tree_leaves_with_path(g0)
 leaves1 = jax.tree.util.tree_leaves(g1)
 worst = 0.0
 for (path, a), b in zip(leaves0, leaves1):
