@@ -112,6 +112,14 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "on v5e at 1M SNPs, with demo convergence "
                         "indistinguishable from per-row (PARITY.md, "
                         "tools/convergence_bench.py).")
+    parser.add_argument("--init_restarts", required=False, default=1,
+                        type=int, help="Train this many independently "
+                        "seeded runs (fresh GMM init + training RNG, seeds "
+                        "seed..seed+R-1) and keep the best by "
+                        "log-likelihood. The converged LL varies by a few "
+                        "thousand units with the init draw (BASELINE.md); "
+                        "restarts recover that spread at R x the training "
+                        "cost. Default 1 (reference behavior).")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",
@@ -201,6 +209,8 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             "Number of components for SVD must be > 0."
         assert getattr(args, "sample_block", 1) >= 1, \
             "sample_block must be >= 1."
+        assert getattr(args, "init_restarts", 1) >= 1, \
+            "init_restarts must be >= 1."
         if args.k is not None:
             assert args.k > 1, "Please select K > 1."
             log.info(f"    Running on K = {args.k}.")

@@ -169,31 +169,67 @@ def main_train(args, t0: float) -> int:
             log.info("")
             log.info("    Running Gaussian Mixture in PCA subspace...")
             log.info("")
-            P_init = init_p_unsupervised(packed, V, N, M, ks, int(args.seed),
-                                         rows=host_rows)
 
         # ------------------------------ train ------------------------------
-        Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
-                                                 pops=y_num,
-                                                 host_rows=host_rows)
+        # --init_restarts R: train R independently seeded runs (fresh GMM
+        # init + training RNG per restart) and keep the one with the best
+        # total log-likelihood. Motivated by measurement, not speculation:
+        # the converged basin on the demo varies by ~3,000 LL with the init
+        # draw for BOTH this engine and the reference architecture (see
+        # BASELINE.md); restarts recover that spread the same way classic
+        # ADMIXTURE practice reruns seeds. The reference has no equivalent
+        # (one GMM init, one run). Seeds are rank-deterministic, so every
+        # process selects the same winner without communication.
+        restarts = max(1, int(getattr(args, "init_restarts", 1) or 1))
 
-        # Log-likelihood report (reference: model/train.py:134-146). In a
-        # multi-process run each host scores its local rows and the partial
-        # log-likelihoods are summed -- a collective all ranks must join.
+        def _lls(Qs, Ps):
+            """Per-K log-likelihoods (reference: model/train.py:134-146);
+            multi-process sums each host's local-row partials -- a
+            collective all ranks must join."""
+            out = []
+            for i, _k in enumerate(sorted(ks)):
+                P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
+                Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
+                if host_rows is not None:
+                    from ..parallel.distributed import allsum_hosts
+                    out.append(float(allsum_hosts(np.asarray(
+                        loglikelihood_packed(
+                            packed, M, P64,
+                            Q64[host_rows[0]:host_rows[1]])))))
+                elif packed_native:
+                    out.append(float(loglikelihood_packed(packed, M, P64,
+                                                          Q64)))
+                else:
+                    out.append(float(loglikelihood(data, P64, Q64, _k)))
+            return out
+
+        best = None
+        base_ckpt = trainer.cfg.checkpoint_path
+        for r in range(restarts):
+            seed_r = int(args.seed) + r
+            if restarts > 1 and is_master():
+                log.info(f"    Restart {r + 1}/{restarts} (seed {seed_r})...")
+            if y_num is None:
+                P_init = init_p_unsupervised(packed, V, N, M, ks, seed_r,
+                                             rows=host_rows)
+            trainer.cfg.seed = seed_r
+            if base_ckpt and restarts > 1:
+                trainer.cfg.checkpoint_path = base_ckpt.replace(
+                    ".npz", f"_r{r}.npz")
+            Qs, Ps, params = trainer.launch_training(P_init, packed, V, M, N,
+                                                     pops=y_num,
+                                                     host_rows=host_rows)
+            lls = _lls(Qs, Ps)
+            if best is None or sum(lls) > sum(best[3]):
+                best = (Qs, Ps, params, lls)
+        Qs, Ps, params, lls = best
+        trainer.cfg.seed = int(args.seed)
+        trainer.cfg.checkpoint_path = base_ckpt
+
         for i, k in enumerate(sorted(ks)):
-            P64 = np.ascontiguousarray(Ps[i].astype(np.float64))
-            Q64 = np.ascontiguousarray(Qs[i].astype(np.float64))
-            if host_rows is not None:
-                from ..parallel.distributed import allsum_hosts
-                logl = float(allsum_hosts(np.asarray(loglikelihood_packed(
-                    packed, M, P64, Q64[host_rows[0]:host_rows[1]]))))
-            elif packed_native:
-                logl = loglikelihood_packed(packed, M, P64, Q64)
-            else:
-                logl = loglikelihood(data, P64, Q64, k)
             if is_master():
                 suffix = "" if K is not None else f" for K={k}"
-                log.info(f"    Log-likelihood{suffix}: {logl:2f}.")
+                log.info(f"    Log-likelihood{suffix}: {lls[i]:2f}.")
 
         if is_master():
             Path(args.save_dir).mkdir(parents=True, exist_ok=True)

@@ -50,6 +50,55 @@ def test_infer_cli_reproduces_training_q(trained_dir):
         np.testing.assert_allclose(Qp, Q, atol=1e-6)
 
 
+def test_infer_cli_sharded_matches_single_device(trained_dir):
+    """`infer --mesh DxS` (sharded projective inference -- a deliberate
+    extension; the reference rejects multi-device inference,
+    src/inference.py:20-21) must reproduce the single-device Q through
+    the real CLI. Mesh 4x1: the demo's packed width (2113 bytes, odd)
+    does not divide a 2-wide snp axis on the CPU path; snp sharding is
+    covered by tests/test_fused_infer.py at aligned widths."""
+    rc = main(["infer", "--name", "cli_run", "--save_dir", str(trained_dir),
+               "--data_path", DEMO_BED, "--out_name", "proj_mesh",
+               "--threads", "2", "--mesh", "4x1"])
+    assert rc == 0
+    for k in (2, 3):
+        Qm = np.loadtxt(trained_dir / f"proj_mesh.{k}.Q")
+        Q = np.loadtxt(trained_dir / f"cli_run.{k}.Q")
+        np.testing.assert_allclose(Qm, Q, atol=1e-6)
+
+
+def test_init_restarts_selects_best_ll(tmp_path):
+    """--init_restarts R trains R independently seeded runs and keeps the
+    best by log-likelihood; the selected LL must be >= the single-run
+    (restart 0 == plain seed) LL. Motivated by the measured ~3k-LL init
+    lottery on the converged demo (BASELINE.md)."""
+    import re
+
+    def run(name, restarts):
+        rc = main(["train", "--k", "2", "--data_path", DEMO_BED,
+                   "--save_dir", str(tmp_path), "--name", name,
+                   "--epochs", "2", "--seed", "11", "--threads", "2",
+                   "--batch_size", "64", "--hidden_size", "32",
+                   "--no_progress", "--init_restarts", str(restarts)])
+        assert rc == 0
+
+    from neural_admixture_tpu.io.bed import read_bed_packed
+    from neural_admixture_tpu.ops.loglikelihood import loglikelihood_packed
+
+    packed, N, M = read_bed_packed(DEMO_BED)
+
+    def ll_of(name):
+        Q = np.loadtxt(tmp_path / f"{name}.2.Q")
+        P = np.loadtxt(tmp_path / f"{name}.2.P")
+        return float(loglikelihood_packed(
+            packed, M, np.ascontiguousarray(P.astype(np.float64)),
+            np.ascontiguousarray(Q.astype(np.float64))))
+
+    run("single", 1)
+    run("multi", 3)
+    assert ll_of("multi") >= ll_of("single") - 1e-6
+
+
 def test_infer_missing_config_returns_error(tmp_path):
     rc = main(["infer", "--name", "nope", "--save_dir", str(tmp_path),
                "--data_path", DEMO_BED, "--out_name", "x", "--threads", "1"])
