@@ -19,6 +19,22 @@ from .ops.pack import unpack_dosage_x
 from .utils.logger import log, setup_logging
 
 
+def _use_fused_path(m_pad: int, n_snp: int = 1) -> bool:
+    """One gate for both inference paths: the fused xv kernel needs the
+    tile-major planar layout (m_pad in 2048-SNP tiles, tiles divisible by
+    the snp mesh axis) and a TPU backend unless NA_TPU_FORCE_PALLAS
+    overrides (interpret mode, tests)."""
+    import os
+
+    import jax
+
+    shapes_ok = m_pad % 2048 == 0 and (m_pad // 2048) % n_snp == 0
+    env = os.environ.get("NA_TPU_FORCE_PALLAS")
+    if env in ("0", "1"):
+        return env == "1" and shapes_ok
+    return jax.default_backend() in ("tpu", "axon") and shapes_ok
+
+
 def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
             ) -> List[np.ndarray]:
     import jax
@@ -27,13 +43,7 @@ def infer_q(params, packed, N: int, ks: List[int], batch_size: int = 1024
 
     packed = np.asarray(packed)
     m_pad = packed.shape[1] * 4
-    use_fused = (jax.default_backend() in ("tpu", "axon")
-                 and m_pad % 2048 == 0)
-    import os
-    if os.environ.get("NA_TPU_FORCE_PALLAS") in ("0", "1"):
-        use_fused = (os.environ["NA_TPU_FORCE_PALLAS"] == "1"
-                     and m_pad % 2048 == 0)
-    if use_fused:
+    if _use_fused_path(m_pad):
         # Tile-major planar layout -> the fused xv kernel computes X @ V
         # from the 2-bit words directly; the (B, M) f32 X of the XLA path
         # (16x the packed bytes) never exists.
@@ -76,8 +86,6 @@ def infer_q_mesh(params, packed, N: int, ks: List[int], batch_size: int,
     outgrows one chip. Deviation from the reference documented in
     PARITY.md.
     """
-    import os
-
     import jax
 
     from .ops import pack as pk
@@ -85,18 +93,19 @@ def infer_q_mesh(params, packed, N: int, ks: List[int], batch_size: int,
     from .parallel.sharded_step import infer_q_sharded
 
     n_data, n_snp = mesh_shape
-    mesh = make_mesh(n_data, n_snp,
-                     devices=jax.devices()[:n_data * n_snp])
+    devices = jax.devices()
+    if len(devices) < n_data * n_snp:
+        raise ValueError(
+            f"Sharded inference over a {n_data}x{n_snp} mesh needs "
+            f"{n_data * n_snp} devices but only {len(devices)} are "
+            "visible; use a smaller --mesh (or --num_gpus), or run "
+            "single-device.")
+    mesh = make_mesh(n_data, n_snp, devices=devices[:n_data * n_snp])
     packed = np.asarray(packed)
     m_pad = packed.shape[1] * 4
-    use_fused = (jax.default_backend() in ("tpu", "axon")
-                 and m_pad % 2048 == 0 and (m_pad // 2048) % n_snp == 0)
-    if os.environ.get("NA_TPU_FORCE_PALLAS") in ("0", "1"):
-        use_fused = (os.environ["NA_TPU_FORCE_PALLAS"] == "1"
-                     and m_pad % 2048 == 0 and (m_pad // 2048) % n_snp == 0)
     params = dict(params)
     no_missing = False
-    if use_fused:
+    if _use_fused_path(m_pad, n_snp):
         perm = pk.planar_perm(m_pad)
         params["V"] = np.asarray(params["V"])[perm]
         no_missing = not pk.packed_has_missing(packed)

@@ -16,6 +16,16 @@ _f8p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _i64 = ctypes.c_int64
 
 
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.na_decode_bed.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+    lib.na_bed_to_packed.argtypes = [_u8p, _i64, _i64, _i64, _i64, _u8p]
+    lib.na_pack_2bit.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
+    lib.na_loglikelihood.argtypes = [_u8p, _f8p, _f8p, _i64, _i64, _i64,
+                                     ctypes.c_double]
+    lib.na_loglikelihood.restype = ctypes.c_double
+    return lib
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
@@ -23,14 +33,13 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     try:
         from .build import build
-        lib = ctypes.CDLL(str(build()))
-        lib.na_decode_bed.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
-        lib.na_bed_to_packed.argtypes = [_u8p, _i64, _i64, _i64, _i64, _u8p]
-        lib.na_pack_2bit.argtypes = [_u8p, _i64, _i64, _i64, _u8p]
-        lib.na_loglikelihood.argtypes = [_u8p, _f8p, _f8p, _i64, _i64, _i64,
-                                         ctypes.c_double]
-        lib.na_loglikelihood.restype = ctypes.c_double
-        _lib = lib
+        try:
+            _lib = _bind(ctypes.CDLL(str(build())))
+        except OSError:
+            # A shipped/stale .so built for another platform (e.g. a wheel
+            # prebuilt on a different OS/arch): rebuild for THIS host with
+            # the local toolchain before giving up.
+            _lib = _bind(ctypes.CDLL(str(build(force=True))))
     except Exception:
         _lib = None
     return _lib

@@ -43,13 +43,19 @@ def _march_flags():
     return ["-march=native", ""]
 
 
-def build(force: bool = False) -> Path:
+def build(force: bool = False, portable: bool = False) -> Path:
+    """``portable=True`` (wheel builds, setup.py): no -march at all -- the
+    binary must run on ANY machine of the wheel's platform, not just hosts
+    matching the build runner's ISA level (an AVX2-tuned .so SIGILLs on an
+    older x86-64). First-use builds keep the host-tuned candidates; a
+    shipped .so that fails to load is rebuilt for the running host
+    (native/bed_native._load)."""
     if LIB.exists() and not force and LIB.stat().st_mtime >= SRC.stat().st_mtime:
         return LIB
     cxx = sysconfig.get_config_var("CXX") or "g++"
     cxx = cxx.split()[0]
     res = None
-    for march in _march_flags():
+    for march in ([""] if portable else _march_flags()):
         cmd = [cxx, "-O3", "-pthread", "-std=c++17", "-shared", "-fPIC",
                str(SRC), "-o", str(LIB)]
         if march:

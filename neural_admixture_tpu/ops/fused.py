@@ -64,7 +64,8 @@ def _heavy_cap(n_heads: int) -> int:
     return default
 
 
-def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1) -> int:
+def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1,
+                         d_sz: int = 1) -> int:
     """Smallest multiple of ``align`` >= B whose heavy-kernel batch tile is
     at least half the cap.
 
@@ -73,17 +74,21 @@ def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1) -> int:
     grid-step fixed cost. The engine's per-row sampling already pads
     batches with zero-weight sentinel rows, so widening the pad to the
     next well-tiling size is free in semantics and recovers the
-    throughput. Returns the plain 8-aligned round-up if no candidate
-    within +cap rows tiles well (pick_tb then warns)."""
+    throughput. ``d_sz``: the data-axis extent of the mesh -- the kernels
+    tile the PER-DEVICE width B/d_sz under shard_map, so candidates are
+    judged on that width (align must be a multiple of 8 * d_sz there).
+    Returns the plain aligned round-up if no candidate within +cap
+    per-device rows tiles well (pick_tb then warns)."""
     cap = _heavy_cap(n_heads)
     base = ((B + align - 1) // align) * align
-    if base <= cap or align % 8:
+    if base // d_sz <= cap or align % (8 * d_sz):
         return base
     b = base
-    while b <= base + cap:
-        if b % 8 == 0 and any(b % tb == 0
-                              for tb in range(cap, cap // 2 - 1, -8)
-                              if tb % 8 == 0):
+    while b // d_sz <= base // d_sz + cap:
+        local = b // d_sz
+        if local % 8 == 0 and any(local % tb == 0
+                                  for tb in range(cap, cap // 2 - 1, -8)
+                                  if tb % 8 == 0):
             return b
         b += align
     return base
@@ -146,7 +151,7 @@ def pick_tb_wide(B: int) -> int:
         "pad the batch to a multiple of 8")
 
 
-def _unpack_x(u32_tile, no_missing: bool = False):
+def _unpack_x(u32_tile, no_missing: bool = False, scale: bool = True):
     """(TB, TW) uint32 -> (TB, TM) f32 dosage/2, missing -> 0 (planar order).
 
     Mosaic has no uint32->f32 cast; shift/mask in uint32, then go through
@@ -156,11 +161,21 @@ def _unpack_x(u32_tile, no_missing: bool = False):
     packed matrix contains no code-3 genotypes (ops.pack.packed_has_missing)
     -- drops the compare+select, ~2 of the ~6 VPU ops per genotype in the
     unpack that dominates the kernels' critical path.
-    """
+
+    ``scale=False`` returns the RAW dosage g instead of g/2 -- for the
+    row-local xv/dv kernels, which use x only as a dot operand: folding
+    the 0.5 into the kernel's SMALL operand (the (D, TM) V block / the
+    (tb, D) dXp block) drops one VPU multiply per genotype and is
+    BIT-EXACT, because both g/2 and v/2 are exact (integer halving /
+    exponent decrement), so each product rounds once to the same
+    g*v*0.5 either way. The dq_dp/loss kernels keep scale=True (their
+    elementwise chain consumes x = g/2 directly)."""
     parts = [((u32_tile >> jnp.uint32(2 * b)) & jnp.uint32(3))
              for b in range(16)]
     g = jnp.concatenate(parts, axis=-1).astype(jnp.int32)  # (TB, TM)
-    x = g.astype(jnp.float32) * 0.5
+    x = g.astype(jnp.float32)
+    if scale:
+        x = x * 0.5
     if no_missing:
         return x
     return jnp.where(g == 3, 0.0, x)

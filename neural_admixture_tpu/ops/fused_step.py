@@ -64,7 +64,7 @@ def _encoder_apply(enc_params, Xp, head_keys: List[str]):
 # --------------------------- pallas kernels --------------------------------
 
 
-def _unpack_cat(u_refs, no_missing):
+def _unpack_cat(u_refs, no_missing, scale=True):
     """Unpack g_ops (1, tb, TW) u32 blocks into one (g_ops*tb, TM) x.
 
     Indexed (gather-free) calls DMA ``g_ops`` scattered sample blocks per
@@ -72,7 +72,7 @@ def _unpack_cat(u_refs, no_missing):
     gathered (g_ops*tb)-row tile would hold, so the per-tile math (and its
     float accumulation order) is identical to the gathered program at
     tb_eff = g_ops * tb."""
-    xs = [_unpack_x(u[0], no_missing) for u in u_refs]
+    xs = [_unpack_x(u[0], no_missing, scale) for u in u_refs]
     return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
 
 
@@ -89,7 +89,11 @@ def _xv_kernel(no_missing, g_ops=1):
     blocks: a (TM, D) block puts D=8 on lanes (8/128-dense operand tiles),
     measured 7.21 -> 4.15 ms/call isolated on v5e @1M SNPs, bit-exact
     (tools/tune_matmul_forms.py). The one (m_pad, D) -> (D, m_pad) XLA
-    transpose per step outside costs ~0.15 ms of HBM traffic."""
+    transpose per step outside costs ~0.15 ms of HBM traffic.
+
+    x is unpacked UNSCALED (raw dosage g); the caller passes V^T already
+    halved (fused into the existing per-step transpose) -- one VPU op per
+    genotype saved, bit-exact (see _unpack_x's scale docstring)."""
     def kernel(*refs):
         u_refs = refs[:g_ops]
         vt_ref, out_ref = refs[g_ops:]
@@ -97,7 +101,7 @@ def _xv_kernel(no_missing, g_ops=1):
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
-        x = _unpack_cat(u_refs, no_missing)
+        x = _unpack_cat(u_refs, no_missing, scale=False)
         out_ref[0] += jax.lax.dot_general(
             _dot_in(vt_ref[:]), _dot_in(x), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -263,7 +267,11 @@ def _dvt_kernel(no_missing, g_ops=1):
 
     Computed TRANSPOSED: a (TM, D) block with D=8 uses 8 of 128 lanes of
     every register and store; the (D, TM) layout is dense. The caller
-    transposes the small (D, m_pad) result once outside."""
+    transposes the small (D, m_pad) result once outside.
+
+    x is unpacked UNSCALED; the caller passes dXp already halved (one
+    elementwise op on the tiny (B, D) array per call) -- bit-exact (see
+    _unpack_x's scale docstring)."""
     def kernel(*refs):
         u_refs = refs[:g_ops]
         dxp_ref, dvt_ref = refs[g_ops:]
@@ -271,7 +279,7 @@ def _dvt_kernel(no_missing, g_ops=1):
         @pl.when(pl.program_id(1) == 0)
         def _():
             dvt_ref[:] = jnp.zeros_like(dvt_ref)
-        x = _unpack_cat(u_refs, no_missing)
+        x = _unpack_cat(u_refs, no_missing, scale=False)
         dvt_ref[:] += jax.lax.dot_general(
             _dot_in(dxp_ref[:]), _dot_in(x), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -402,7 +410,10 @@ def _batch_geom(u32, tb, blk_idx):
 def _xv_call(u32, V, tb, no_missing=False, blk_idx=None):
     nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad, D = V.shape
-    vt = V.T  # dense (D, TM) operand blocks; see _xv_kernel docstring
+    # dense (D, TM) operand blocks (see _xv_kernel docstring), pre-halved:
+    # the kernel unpacks RAW dosages and XLA fuses the 0.5 into this
+    # transpose, saving one VPU multiply per genotype, bit-exact.
+    vt = V.T * 0.5
     xpt = _maybe_indexed_call(
         _xv_kernel(no_missing, g),
         grid=(nB, m_pad // TM),
@@ -525,6 +536,9 @@ def _dv_call(u32, dXp, tb, no_missing=False, blk_idx=None):
     nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
     D = dXp.shape[1]
+    # the kernel unpacks RAW dosages; halve the tiny (B, D) cotangent once
+    # here instead of scaling every unpacked genotype (bit-exact).
+    dXp = dXp * 0.5
     dvt = _maybe_indexed_call(
         _dvt_kernel(no_missing, g),
         grid=(m_pad // TM, nB),

@@ -243,11 +243,13 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         if use_pallas:
             # Per-row batches carry zero-weight sentinel padding anyway;
             # widen it to the next well-tiling width so adversarial batch
-            # sizes (808 = 8 x 101 -> tb 8) keep large kernel tiles.
+            # sizes (808 = 8 x 101 -> tb 8) keep large kernel tiles. The
+            # kernels tile the PER-DEVICE width under a mesh.
             from ..ops.fused import pad_batch_for_tiling
             n_heads = len(params_template["heads"]) if params_template else 1
-            b_round = pad_batch_for_tiling(batch_size, align, n_heads)
-            b_rem = pad_batch_for_tiling(rem, align, n_heads)
+            d_sz = mesh.shape[DATA_AXIS] if mesh is not None else 1
+            b_round = pad_batch_for_tiling(batch_size, align, n_heads, d_sz)
+            b_rem = pad_batch_for_tiling(rem, align, n_heads, d_sz)
         else:
             b_round = ((batch_size + align - 1) // align) * align
             b_rem = ((rem + align - 1) // align) * align
@@ -706,7 +708,17 @@ class NeuralAdmixtureTrainer:
         # Trace-time specialization: when the host verified there are no
         # code-3 genotypes, the kernels skip the missing->0 select entirely
         # (~2 of ~6 VPU ops per genotype in the unpack).
-        no_missing = use_pallas and not pk.packed_has_missing(packed_np)
+        has_missing = pk.packed_has_missing(packed_np)
+        if n_proc > 1:
+            # The flag selects a trace-time kernel variant of the SPMD
+            # program; deciding it from local rows alone would let hosts
+            # with missing-free shards trace a DIFFERENT program than
+            # hosts that have code-3 genotypes (undefined behavior in
+            # multi-controller JAX). Reduce it globally.
+            from ..parallel.distributed import allsum_hosts
+            has_missing = bool(
+                allsum_hosts(np.asarray([int(has_missing)]))[0] > 0)
+        no_missing = use_pallas and not has_missing
         self._no_missing = no_missing
         mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,

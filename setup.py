@@ -20,7 +20,10 @@ class build_py_with_native(build_py):
         try:
             sys.path.insert(0, str(pathlib.Path(__file__).parent))
             from neural_admixture_tpu.native.build import build
-            lib = build(force=True)
+            # Portable ISA: the wheel may run on machines older than the
+            # build host; hosts with a toolchain rebuild tuned on first
+            # load failure (bed_native._load), hosts without keep this one.
+            lib = build(force=True, portable=True)
             print(f"built native extension: {lib}")
         except Exception as exc:  # toolchain-free host: wheel stays pure
             print(f"warning: native extension not built ({exc}); the "

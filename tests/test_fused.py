@@ -215,6 +215,9 @@ def test_pad_batch_for_tiling_adversarial():
     assert b3 >= 808 and pick_tb(b3, 3) >= 128
     # alignment (e.g. 8 * d_sz on a mesh) is preserved
     assert pad_batch_for_tiling(808, 16) % 16 == 0
+    # under a mesh the kernels tile the PER-DEVICE width B/d_sz
+    bm = pad_batch_for_tiling(808, 16, d_sz=2)
+    assert bm % 16 == 0 and pick_tb(bm // 2) >= 200
 
 
 def test_pick_tb_warns_on_poor_tiling(caplog):

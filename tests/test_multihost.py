@@ -114,6 +114,11 @@ def _write_synthetic_bed(path, N=120, M=256, seed=11):
     path; the demo BED's M=8451 does not)."""
     rng = np.random.default_rng(seed)
     G = rng.integers(0, 3, size=(N, M)).astype(np.uint8)
+    # Missing genotypes in the FIRST rows only: process 0's shard has
+    # code-3 entries while process 1's does not, so the engine's global
+    # has-missing reduction (trace-time kernel-variant consistency across
+    # hosts) is exercised with genuinely differing local answers.
+    G[:4, ::17] = 3
     code_of = np.array([3, 2, 0, 1], dtype=np.uint8)  # dosage -> BED code
     nb = (N + 3) // 4
     B = np.zeros((M, nb), dtype=np.uint8)

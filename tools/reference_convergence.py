@@ -34,7 +34,8 @@ from neural_admixture_tpu.io.packed import pack_with_padding  # noqa: E402
 from neural_admixture_tpu.ops.loglikelihood import loglikelihood  # noqa: E402
 from neural_admixture_tpu.ops.rsvd import rsvd  # noqa: E402
 
-DEMO = "/root/reference/demo/data/demo_data.bed"
+DEMO = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "demo/data/demo_data.bed")
 
 
 def gmm_p_init(G, V, K, seed):

@@ -99,7 +99,7 @@ l0, g0, _ = results["0"]
 l1, g1, _ = results["1"]
 print("loss bit-identical:", l0 == l1)
 leaves0 = jax.tree_util.tree_leaves_with_path(g0)
-leaves1 = jax.tree.util.tree_leaves(g1)
+leaves1 = jax.tree_util.tree_leaves(g1)
 worst = 0.0
 for (path, a), b in zip(leaves0, leaves1):
     a, b = np.asarray(a), np.asarray(b)
