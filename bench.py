@@ -62,11 +62,18 @@ def bench_jax():
     from neural_admixture_tpu.models import qp
     from neural_admixture_tpu.ops import pack as pk
     from neural_admixture_tpu.train.engine import (NeuralAdmixtureTrainer,
-                                                   make_epoch_fn)
+                                                   make_epoch_fn,
+                                                   make_stream_epoch_fn)
 
     pallas_env = os.environ.get("NA_BENCH_PALLAS")
     use_pallas = (jax.default_backend() in ("tpu", "axon")
                   if pallas_env is None else pallas_env == "1")
+    # NA_BENCH_STREAM=1: measure the host-streaming (out-of-core) path
+    # instead -- packed genotypes stay in host memory, each batch is
+    # assembled on host and transferred per step (engine.
+    # make_stream_epoch_fn). Expected to be transfer-bound; this knob
+    # documents the out-of-core throughput, it is not the headline.
+    stream = os.environ.get("NA_BENCH_STREAM") == "1"
 
     # Measured on v5e (2026-08-17, post wide-tb xv/dv): gathered blk=16
     # 93.1k samples/s; the opt-in gather-free indexed path (NA_TPU_INDEXED=1)
@@ -89,12 +96,13 @@ def bench_jax():
         params = NeuralAdmixtureTrainer._permute_params(params, perm)
         tiles = np.ascontiguousarray(
             pk.tiles_from_rows(pk.packed_view_u32(packed)))
-        packed_dev = jax.device_put(tiles)
+        packed_dev = tiles if stream else jax.device_put(tiles)
         col_mask = jax.numpy.asarray(col_mask_np[perm])
     else:
-        packed_dev = jax.device_put(packed)
+        packed_dev = packed if stream else jax.device_put(packed)
         col_mask = jax.numpy.asarray(col_mask_np)
-    pops = jax.numpy.zeros((N,), jax.numpy.int32)
+    pops = (np.zeros((N,), np.int32) if stream
+            else jax.numpy.zeros((N,), jax.numpy.int32))
 
     # Block-granular sampling (the production default) needs the resident
     # rows padded to whole batches of whole blocks.
@@ -107,9 +115,10 @@ def bench_jax():
             axis = 1 if packed_dev.ndim == 3 else 0
             pad_shape = list(packed_dev.shape)
             pad_shape[axis] = n_rows - N
-            packed_dev = jax.numpy.concatenate(
-                [packed_dev,
-                 jax.device_put(np.zeros(pad_shape, packed_dev.dtype))],
+            cat = np.concatenate if stream else jax.numpy.concatenate
+            pad = np.zeros(pad_shape, packed_dev.dtype)
+            packed_dev = cat(
+                [packed_dev, pad if stream else jax.device_put(pad)],
                 axis=axis)
 
     # Measure the production-dominant path: the loss-free epoch (the loss
@@ -118,13 +127,20 @@ def bench_jax():
     # over per-epoch keys, engine.make_epoch_fn(epochs_per_call=E)); the
     # bench mirrors that by default. NA_BENCH_GROUP=0 measures per-epoch
     # dispatch instead.
-    group = os.environ.get("NA_BENCH_GROUP", "1") == "1" and EPOCHS_MEASURE > 1
+    group = (os.environ.get("NA_BENCH_GROUP", "1") == "1"
+             and EPOCHS_MEASURE > 1 and not stream)
     no_missing = use_pallas and not pk.packed_has_missing(packed)
-    mk = lambda **kw: make_epoch_fn(  # noqa: E731
-        tx, N, B, supervised=False, supervised_loss_weight=0.0,
-        use_pallas=use_pallas, compute_loss=False, params_template=params,
-        sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
-    epoch_fn = mk(epochs_per_call=EPOCHS_MEASURE) if group else mk()
+    if stream:
+        epoch_fn = make_stream_epoch_fn(
+            tx, N, B, supervised=False, supervised_loss_weight=0.0,
+            use_pallas=use_pallas, compute_loss=False, params_template=params,
+            sample_block=blk, n_rows=n_rows, no_missing=no_missing)
+    else:
+        mk = lambda **kw: make_epoch_fn(  # noqa: E731
+            tx, N, B, supervised=False, supervised_loss_weight=0.0,
+            use_pallas=use_pallas, compute_loss=False, params_template=params,
+            sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
+        epoch_fn = mk(epochs_per_call=EPOCHS_MEASURE) if group else mk()
     key = jax.random.PRNGKey(42)
 
     def run_epochs(params, opt_state, key):

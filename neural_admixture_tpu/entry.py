@@ -112,6 +112,18 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "on v5e at 1M SNPs, with demo convergence "
                         "indistinguishable from per-row (PARITY.md, "
                         "tools/convergence_bench.py).")
+    parser.add_argument("--stream", required=False, default="auto",
+                        choices=("auto", "0", "1"),
+                        help="Host-streaming (out-of-core) training: keep "
+                        "the 2-bit packed genotypes in host memory and "
+                        "transfer each batch per step, for datasets whose "
+                        "packed bytes exceed device HBM (e.g. 100K x 1M = "
+                        "25 GB packed vs 16 GB on one v5e). 'auto' (default) "
+                        "streams only when the resident estimate exceeds "
+                        "capacity in a single-process run; 1/0 force. Works "
+                        "on one device or a single-host mesh (batches land "
+                        "straight in the (data, snp) sharding); multi-host "
+                        "runs shard the resident data across hosts instead.")
     parser.add_argument("--init_restarts", required=False, default=1,
                         type=int, help="Train this many independently "
                         "seeded runs (fresh GMM init + training RNG, seeds "

@@ -40,6 +40,20 @@ def _pad_rows(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.concatenate([x, pad], axis=0)
 
 
+@jax.jit
+def _blk_a_omega(blk: jnp.ndarray, Omega: jnp.ndarray) -> jnp.ndarray:
+    """One host-streamed row block of A @ Omega (out-of-core path)."""
+    A = unpack_genotypes(blk).astype(jnp.float32)
+    return jnp.dot(A, Omega, precision=_PREC)
+
+
+@jax.jit
+def _blk_qt_a(Qtb: jnp.ndarray, blk: jnp.ndarray) -> jnp.ndarray:
+    """One host-streamed row block of Q^T @ A (out-of-core path)."""
+    A = unpack_genotypes(blk).astype(jnp.float32)
+    return jnp.dot(Qtb, A, precision=_PREC)
+
+
 @partial(jax.jit, static_argnames=("block_rows",))
 def _mul_A_omega(packed: jnp.ndarray, Omega: jnp.ndarray, block_rows: int):
     """(N, W) packed x (4W, k') -> (N_pad, k') = A @ Omega over row blocks."""
@@ -76,8 +90,8 @@ def _mul_Qt_A(Qt: jnp.ndarray, packed: jnp.ndarray, block_rows: int):
 
 def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
          oversampling: int = 10, power_iterations: int = 2,
-         block_rows: int = 4096, rows: Optional[Tuple[int, int]] = None
-         ) -> np.ndarray:
+         block_rows: int = 4096, rows: Optional[Tuple[int, int]] = None,
+         stream: Optional[bool] = None) -> np.ndarray:
     """Randomized SVD of the packed genotype matrix. Returns Vt_k (k, M) f32.
 
     ``packed``: (n, W) uint8, 2-bit packed, sample-major (padding columns are
@@ -88,15 +102,27 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     rows; the tiny (N, k') sketch is all-gathered and the (k', M) partial
     products summed across hosts, so every process computes an identical V
     (same LAPACK calls on identical inputs) with no broadcast step.
+
+    ``stream``: host-streaming (out-of-core) mode -- the packed matrix stays
+    in host memory and each GEMM transfers one ``block_rows`` block at a
+    time (~2 + 2*power_iterations passes over the data), for matrices whose
+    packed bytes exceed device HBM. None = auto by size
+    (utils.hbm.should_stream_host); same block order and f32 accumulation
+    as the resident path.
     """
     from ..parallel.distributed import allsum_hosts, gather_ragged_rows
+    from ..utils.hbm import should_stream_host
 
     start, end = rows if rows is not None else (0, N)
     n_local = end - start
     assert packed.shape[0] >= n_local, (packed.shape, rows)
-    packed = jnp.asarray(packed[:n_local])
+    if stream is None:
+        stream = should_stream_host(n_local * packed.shape[1])
     n_pad = ((n_local + block_rows - 1) // block_rows) * block_rows
-    packed = _pad_rows(packed, n_pad)
+    if stream:
+        packed = np.asarray(packed[:n_local])
+    else:
+        packed = _pad_rows(jnp.asarray(packed[:n_local]), n_pad)
     distributed = rows is not None
 
     k_prime = max(k + oversampling, 20)
@@ -110,9 +136,27 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     # (N x k') QR and (k' x M) SVD run on the host (LAPACK) -- they are
     # negligible FLOPs, and keeping them off-device avoids per-dataset-shape
     # XLA compiles of QR/SVD (expensive on remote/tunneled backends).
+    def _blk(i):
+        """Host row block [i, i+block_rows), zero-padded to a static shape
+        (one trace; padding rows decode to genotype 0 and are cropped or
+        multiplied by zero Q rows)."""
+        blk = packed[i:i + block_rows]
+        if blk.shape[0] < block_rows:
+            blk = np.concatenate(
+                [blk, np.zeros((block_rows - blk.shape[0], blk.shape[1]),
+                               blk.dtype)], axis=0)
+        return jnp.asarray(blk)
+
     def A_omega(Om):
         """Global Y = A @ Om (N, k'), identical on every host."""
-        Y_local = np.asarray(_mul_A_omega(packed, Om, block_rows))[:n_local]
+        if stream:
+            Y_local = np.empty((n_local, Om.shape[1]), np.float32)
+            for i in range(0, n_local, block_rows):
+                j = min(i + block_rows, n_local)
+                Y_local[i:j] = np.asarray(_blk_a_omega(_blk(i), Om))[:j - i]
+        else:
+            Y_local = np.asarray(_mul_A_omega(packed, Om,
+                                              block_rows))[:n_local]
         if not distributed:
             return Y_local
         return gather_ragged_rows(Y_local)
@@ -120,9 +164,17 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     def Qt_A(Q_full):
         """Global B = Q^T A (k', m_pad), identical on every host."""
         Q_local = Q_full[start:end]
-        Qt = jnp.asarray(np.ascontiguousarray(
-            np.pad(Q_local, ((0, n_pad - n_local), (0, 0))).T))
-        B_part = np.asarray(_mul_Qt_A(Qt, packed, block_rows))
+        Qt_np = np.ascontiguousarray(
+            np.pad(Q_local, ((0, n_pad - n_local), (0, 0))).T)
+        if stream:
+            B_part = np.zeros((Qt_np.shape[0], m_pad), np.float32)
+            for i in range(0, n_local, block_rows):
+                Qtb = jnp.asarray(
+                    np.ascontiguousarray(Qt_np[:, i:i + block_rows]))
+                B_part += np.asarray(_blk_qt_a(Qtb, _blk(i)))
+        else:
+            B_part = np.asarray(_mul_Qt_A(jnp.asarray(Qt_np), packed,
+                                          block_rows))
         return allsum_hosts(B_part) if distributed else B_part
 
     Y = A_omega(Omega)

@@ -191,5 +191,11 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
     # Per-device row blocks must hit the xv kernel's 8-sublane tiling.
     q = d_sz * 8 if tile_major else d_sz
     B = max(q, (min(N, batch) // q) * q)
+    # Host-resident data (the out-of-core path): land each chunk directly
+    # in the batch sharding instead of single-device-then-reshard.
+    import numpy as np
+    put = (partial(jax.device_put,
+                   device=jax.sharding.NamedSharding(mesh, batch_spec))
+           if isinstance(data_dev, np.ndarray) else None)
     return chunked_forward(lambda blk: fwd(params, blk), data_dev, N, B,
-                           sample_axis=1 if tile_major else 0)
+                           sample_axis=1 if tile_major else 0, put=put)

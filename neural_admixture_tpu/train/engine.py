@@ -74,6 +74,14 @@ class TrainConfig:
     # Device mesh (n_data, n_snp): None = auto (all devices data-parallel
     # when more than one device is visible; single-device path otherwise).
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Host-streaming (out-of-core) training: the packed genotypes stay in
+    # host memory and each batch is assembled on host and transferred per
+    # step (make_stream_epoch_fn) -- for datasets whose packed bytes exceed
+    # device HBM on the available mesh. None = auto (stream only when the
+    # resident estimate exceeds capacity but the streaming one fits);
+    # True/False force. Single-process runs only (one device or a
+    # single-host mesh: batches land straight in the P(data, snp) sharding).
+    stream: Optional[bool] = None
     # Observability / resilience (absent in the reference, SURVEY.md section 5):
     profile_dir: Optional[str] = None    # jax.profiler trace of the epochs
     checkpoint_every: int = 0            # save resumable state every N epochs
@@ -186,6 +194,83 @@ def block_geometry(N: int, batch_size: int, use_pallas: bool, mesh,
     return b_round, nb, b_rem, (nb - 1) * b_round + b_rem
 
 
+def _batch_plan(N: int, batch_size: int, use_pallas: bool, mesh, blk: int,
+                params_template, n_rows: Optional[int]
+                ) -> Tuple[int, int, int, bool]:
+    """(b_round, nb, b_rem, full_real) — the epoch's batch geometry, shared
+    by the resident (make_epoch_fn) and host-streaming (make_stream_epoch_fn)
+    builders so both sample identically.
+
+    Full batches contain only real rows: with block sampling the partial
+    block is routed to the remainder; with per-row sampling the first
+    (nb-1)*batch_size permutation entries are all < N provided no alignment
+    padding was added. The unmasked kernel variant is exact for such batches
+    (see ops.fused_step.make_fused_training_loss); padded SNP columns need
+    no masking either. NA_TPU_FORCE_MASKED=1 pins the masked variant
+    everywhere (used by tests to A/B the two programs).
+    """
+    if blk > 1:
+        # Block sampling: batches are whole blocks of `blk` consecutive
+        # resident rows; the epoch is a permutation of the FULL data blocks,
+        # split into nb-1 full batches and one remainder batch. The partial
+        # data block (N % blk rows + padding) and the all-padding blocks
+        # ride only in the remainder, so full batches are provably all-real.
+        b_round, nb, b_rem, want_rows = block_geometry(
+            N, batch_size, use_pallas, mesh, blk)
+        assert n_rows == want_rows, (n_rows, want_rows)
+    else:
+        align = batch_align(use_pallas, mesh)
+        nb = (N + batch_size - 1) // batch_size
+        rem = N - (nb - 1) * batch_size
+        if use_pallas:
+            # Per-row batches carry zero-weight sentinel padding anyway;
+            # widen it to the next well-tiling width so adversarial batch
+            # sizes (808 = 8 x 101 -> tb 8) keep large kernel tiles. The
+            # kernels tile the PER-DEVICE width under a mesh.
+            from ..ops.fused import pad_batch_for_tiling
+            n_heads = len(params_template["heads"]) if params_template else 1
+            d_sz = mesh.shape[DATA_AXIS] if mesh is not None else 1
+            b_round = pad_batch_for_tiling(batch_size, align, n_heads, d_sz)
+            b_rem = pad_batch_for_tiling(rem, align, n_heads, d_sz)
+        else:
+            b_round = ((batch_size + align - 1) // align) * align
+            b_rem = ((rem + align - 1) // align) * align
+    import os
+    full_real = ((blk > 1 or b_round == batch_size)
+                 and os.environ.get("NA_TPU_FORCE_MASKED") != "1")
+    return b_round, nb, b_rem, full_real
+
+
+def _make_loss_and_grad(masked: bool, supervised: bool,
+                        supervised_loss_weight: float, use_pallas: bool,
+                        mesh, params_template, no_missing: bool,
+                        merged: bool):
+    """Loss-and-grad callable for one kernel variant, shared by the
+    resident and streaming epoch builders: (params, xb, row_weight,
+    col_mask, pops_b) -> (loss, grads)."""
+    if mesh is None:
+        fused_op = None
+        if use_pallas:
+            from ..ops.fused_step import make_fused_training_loss
+            fused_op = make_fused_training_loss(
+                sorted(params_template["heads"]), no_missing=no_missing,
+                masked=masked, merged_loss=merged)
+        loss_fn = partial(_loss_fn, supervised=supervised,
+                          supervised_loss_weight=supervised_loss_weight,
+                          use_pallas=use_pallas, fused_op=fused_op)
+
+        def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
+            return jax.value_and_grad(loss_fn)(
+                params, xb, row_weight, col_mask, pops_b)
+
+        return loss_and_grad
+    from ..parallel.sharded_step import make_sharded_loss_and_grad
+    return make_sharded_loss_and_grad(
+        mesh, params_template, supervised, supervised_loss_weight,
+        use_pallas, no_missing=no_missing, masked=masked,
+        merged_loss=merged)
+
+
 def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   supervised_loss_weight: float, use_pallas: bool = False,
                   mesh=None, params_template=None, compute_loss: bool = True,
@@ -227,43 +312,9 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     forfeit the saving.
     """
     blk = max(1, sample_block)
-    if blk > 1:
-        # Block sampling: batches are whole blocks of `blk` consecutive
-        # resident rows; the epoch is a permutation of the FULL data blocks,
-        # split into nb-1 full batches and one remainder batch. The partial
-        # data block (N % blk rows + padding) and the all-padding blocks
-        # ride only in the remainder, so full batches are provably all-real.
-        b_round, nb, b_rem, want_rows = block_geometry(
-            N, batch_size, use_pallas, mesh, blk)
-        assert n_rows == want_rows, (n_rows, want_rows)
-    else:
-        align = batch_align(use_pallas, mesh)
-        nb = (N + batch_size - 1) // batch_size
-        rem = N - (nb - 1) * batch_size
-        if use_pallas:
-            # Per-row batches carry zero-weight sentinel padding anyway;
-            # widen it to the next well-tiling width so adversarial batch
-            # sizes (808 = 8 x 101 -> tb 8) keep large kernel tiles. The
-            # kernels tile the PER-DEVICE width under a mesh.
-            from ..ops.fused import pad_batch_for_tiling
-            n_heads = len(params_template["heads"]) if params_template else 1
-            d_sz = mesh.shape[DATA_AXIS] if mesh is not None else 1
-            b_round = pad_batch_for_tiling(batch_size, align, n_heads, d_sz)
-            b_rem = pad_batch_for_tiling(rem, align, n_heads, d_sz)
-        else:
-            b_round = ((batch_size + align - 1) // align) * align
-            b_rem = ((rem + align - 1) // align) * align
-
-    # Full batches contain only real rows: with block sampling the partial
-    # block is routed to the remainder; with per-row sampling the first
-    # (nb-1)*batch_size permutation entries are all < N provided no
-    # alignment padding was added. The unmasked kernel variant is exact for
-    # such batches (see ops.fused_step.make_fused_training_loss); padded SNP
-    # columns need no masking either. NA_TPU_FORCE_MASKED=1 pins the masked
-    # variant everywhere (used by tests to A/B the two programs).
+    b_round, nb, b_rem, full_real = _batch_plan(
+        N, batch_size, use_pallas, mesh, blk, params_template, n_rows)
     import os
-    full_real = ((blk > 1 or b_round == batch_size)
-                 and os.environ.get("NA_TPU_FORCE_MASKED") != "1")
 
     # Gather-free full batches (OPT-IN, NA_TPU_INDEXED=1): the fused
     # kernels read the sampled blocks straight from the resident array
@@ -291,28 +342,11 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     merged = (compute_loss and use_pallas
               and os.environ.get("NA_TPU_SPLIT_LOSS") != "1")
 
-    def _mk_loss_and_grad(masked: bool):
-        if mesh is None:
-            fused_op = None
-            if use_pallas:
-                from ..ops.fused_step import make_fused_training_loss
-                fused_op = make_fused_training_loss(
-                    sorted(params_template["heads"]), no_missing=no_missing,
-                    masked=masked, merged_loss=merged)
-            loss_fn = partial(_loss_fn, supervised=supervised,
-                              supervised_loss_weight=supervised_loss_weight,
-                              use_pallas=use_pallas, fused_op=fused_op)
-
-            def loss_and_grad(params, xb, row_weight, col_mask, pops_b):
-                return jax.value_and_grad(loss_fn)(
-                    params, xb, row_weight, col_mask, pops_b)
-
-            return loss_and_grad
-        from ..parallel.sharded_step import make_sharded_loss_and_grad
-        return make_sharded_loss_and_grad(
-            mesh, params_template, supervised, supervised_loss_weight,
-            use_pallas, no_missing=no_missing, masked=masked,
-            merged_loss=merged)
+    _mk_loss_and_grad = partial(
+        _make_loss_and_grad, supervised=supervised,
+        supervised_loss_weight=supervised_loss_weight,
+        use_pallas=use_pallas, mesh=mesh, params_template=params_template,
+        no_missing=no_missing, merged=merged)
 
     lag_masked = _mk_loss_and_grad(True)
     if indexed:
@@ -490,6 +524,154 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     return epochs_fn
 
 
+def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
+                         supervised_loss_weight: float,
+                         use_pallas: bool = False, mesh=None,
+                         params_template=None,
+                         compute_loss: bool = True, sample_block: int = 1,
+                         n_rows: Optional[int] = None,
+                         no_missing: bool = False):
+    """Host-streaming (out-of-core) counterpart of ``make_epoch_fn``.
+
+    The packed genotype matrix stays in HOST memory; each step's batch is
+    assembled on host and ``device_put`` -- the path for datasets whose
+    2-bit packed bytes exceed device HBM on a single chip (e.g. 100K x 1M
+    = 25 GB packed vs 16 GB on a v5e). The reference cannot run these at
+    all: it materializes the full uint8 matrix in host shared memory AND a
+    packed copy in device memory
+    (/root/reference/neural_admixture/entry.py:186,
+    /root/reference/neural_admixture/model/train.py:120-126).
+
+    Same batch geometry (_batch_plan), key stream, sampling policy, kernel
+    variants, and per-step math as make_epoch_fn; only the batch SOURCE
+    differs (host gather + transfer instead of an in-HBM gather inside the
+    scan), so a streamed run is interchangeable with a resident run:
+    BIT-exact on the XLA path; last-ulp on the Pallas path (ops around the
+    kernels fuse differently in the standalone step jit than in the scan
+    body -- pinned by tests/test_stream.py). Throughput is
+    host-gather + host->device-transfer bound by design; JAX's async
+    dispatch overlaps the next batch's host assembly with device compute.
+
+    Returns ``run_epoch(params, opt_state, packed_host, col_mask,
+    pops_host, key)`` with the same signature as make_epoch_fn's, where
+    ``packed_host`` is the (pre-shuffled, padded, tile-major on the Pallas
+    path) resident array as host numpy and ``pops_host`` the shuffled
+    labels as host numpy.
+
+    With ``mesh`` (single-process, multi-device), each batch is
+    device_put straight into the P(data, snp) batch sharding and the step
+    runs the same shard_map loss/grad as the resident path -- out-of-core
+    over a whole host's mesh, for packed matrices that exceed even the
+    mesh's combined HBM.
+    """
+    import os
+    blk = max(1, sample_block)
+    b_round, nb, b_rem, full_real = _batch_plan(
+        N, batch_size, use_pallas, mesh, blk, params_template, n_rows)
+    merged = (compute_loss and use_pallas
+              and os.environ.get("NA_TPU_SPLIT_LOSS") != "1")
+    _mk = partial(_make_loss_and_grad, supervised=supervised,
+                  supervised_loss_weight=supervised_loss_weight,
+                  use_pallas=use_pallas, mesh=mesh,
+                  params_template=params_template, no_missing=no_missing,
+                  merged=merged)
+    lag_masked = _mk(True)
+    lag_full = _mk(False) if (use_pallas and full_real) else lag_masked
+    if mesh is None:
+        put_batch = put_rows = jnp.asarray
+    else:
+        batch_sharding = NamedSharding(
+            mesh, P(SNP_AXIS, DATA_AXIS, None) if use_pallas
+            else P(DATA_AXIS, SNP_AXIS))
+        row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        put_batch = partial(jax.device_put, device=batch_sharding)
+        put_rows = partial(jax.device_put, device=row_sharding)
+
+    def _step(params, opt_state, xb, row_weight, col_mask, pops_b, *, lag):
+        loss, grads = lag(params, xb, row_weight, col_mask, pops_b)
+        if not compute_loss:
+            loss = jnp.float32(0)  # primal DCE'd; see make_epoch_fn
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = qp.restrict_P(params)
+        return params, opt_state, loss
+
+    step_full = jax.jit(partial(_step, lag=lag_full), donate_argnums=(0, 1))
+    step_masked = jax.jit(partial(_step, lag=lag_masked),
+                          donate_argnums=(0, 1))
+
+    def run_epoch(params, opt_state, packed_host, col_mask, pops_host, key):
+        # Index derivation identical to make_epoch_fn.run_epoch (threefry
+        # values are backend-independent, so the streamed epoch samples the
+        # exact batches the resident epoch would).
+        s_ax = 1 if packed_host.ndim == 3 else 0
+        if blk > 1:
+            F = b_round // blk
+            nblk_res = n_rows // blk
+            nblk_full = N // blk
+            perm = np.asarray(jax.random.permutation(key, nblk_full))
+            idx_full = perm[:(nb - 1) * F].reshape(nb - 1, F)
+            idx_rem = np.concatenate(
+                [perm[(nb - 1) * F:],
+                 np.arange(nblk_full, nblk_res, dtype=perm.dtype)])
+        else:
+            perm = np.asarray(jax.random.permutation(key, N))
+            idx_full = perm[:(nb - 1) * batch_size].reshape(
+                nb - 1, batch_size)
+            if b_round != batch_size:
+                idx_full = np.concatenate(
+                    [idx_full,
+                     np.full((nb - 1, b_round - batch_size), N,
+                             idx_full.dtype)], axis=1)
+            tail = perm[(nb - 1) * batch_size:]
+            idx_rem = np.concatenate(
+                [tail, np.full((b_rem - tail.shape[0],), N, perm.dtype)])
+
+        def gather(idx_b):
+            """Host mirror of the resident step's batch gather."""
+            if blk > 1:
+                row_idx = (idx_b[:, None] * blk
+                           + np.arange(blk, dtype=idx_b.dtype)).reshape(-1)
+                row_weight = (row_idx < N).astype(np.float32)
+                shape = list(packed_host.shape)
+                shape[s_ax] = row_idx.shape[0]
+                xb = np.empty(shape, packed_host.dtype)
+                src = [slice(None)] * packed_host.ndim
+                dst = [slice(None)] * packed_host.ndim
+                for j, b in enumerate(idx_b):
+                    src[s_ax] = slice(int(b) * blk, (int(b) + 1) * blk)
+                    dst[s_ax] = slice(j * blk, (j + 1) * blk)
+                    xb[tuple(dst)] = packed_host[tuple(src)]
+                safe = np.minimum(row_idx, N - 1)
+            else:
+                row_weight = (idx_b < N).astype(np.float32)
+                safe = np.minimum(idx_b, N - 1)
+                xb = np.take(packed_host, safe, axis=s_ax)
+            return xb, row_weight, pops_host[safe].astype(np.int32)
+
+        losses = []
+        for i in range(nb - 1):
+            xb, rw, pb = gather(idx_full[i])
+            params, opt_state, loss = step_full(
+                params, opt_state, put_batch(xb), put_rows(rw),
+                col_mask, put_rows(pb))
+            losses.append(loss)
+        # The remainder batch carries the padding, so it masks (its own
+        # static width traces step_masked a second time, like the
+        # reference's short final DataLoader batch).
+        xb, rw, pb = gather(idx_rem)
+        params, opt_state, loss_rem = step_masked(
+            params, opt_state, put_batch(xb), put_rows(rw),
+            col_mask, put_rows(pb))
+        # Same reduction as the resident path: jnp.sum over the stacked
+        # full-batch losses, then + the remainder's.
+        loss_total = (jnp.sum(jnp.stack(losses)) if losses
+                      else jnp.float32(0)) + loss_rem
+        return params, opt_state, loss_total
+
+    return run_epoch
+
+
 @jax.jit
 def _infer_batch(params, packed_batch):
     X = unpack_dosage_x(packed_batch)
@@ -642,7 +824,8 @@ class NeuralAdmixtureTrainer:
         # training state per chip. An allocator OOM here is opaque; warn
         # with the actionable fix (a bigger mesh) instead. Capacity
         # default: 16 GiB (v5e); override via NA_TPU_HBM_CAPACITY_GB.
-        cap_gb = float(os.environ.get("NA_TPU_HBM_CAPACITY_GB", "16"))
+        from ..utils.hbm import hbm_capacity_bytes
+        cap_gb = hbm_capacity_bytes() / 2**30
         n_chips = 1 if mesh is None else mesh.size
         n_snp_ax = 1 if mesh is None else mesh.shape[SNP_AXIS]
         # Resident data and the gathered batch shard over the WHOLE mesh
@@ -655,17 +838,51 @@ class NeuralAdmixtureTrainer:
             batch_bytes += cfg.batch_size * m_pad * 4
         per_chip = ((data_host.nbytes * max(1, n_proc) + batch_bytes)
                     / n_chips + self._plane_state_bytes(m_pad) / n_snp_ax)
-        if self.master and per_chip > 0.9 * cap_gb * 2**30:
+        # Host-streaming decision: the per-chip footprint without the
+        # resident genotypes (batches are transferred per step instead).
+        per_chip_stream = (batch_bytes
+                           + self._plane_state_bytes(m_pad) / n_snp_ax)
+        resident_fits = per_chip <= 0.9 * cap_gb * 2**30
+        stream = cfg.stream
+        if stream is None:
+            stream = (not resident_fits
+                      and per_chip_stream <= 0.9 * cap_gb * 2**30
+                      and n_proc == 1)
+        if stream and n_proc > 1:
+            raise NotImplementedError(
+                "--stream 1 supports single-process runs (one device or a "
+                "single-host mesh); in a multi-host run each host's shard of "
+                "the resident data already lives on its own devices -- use "
+                "more hosts instead.")
+        self._streamed = bool(stream)
+        if self.master and stream:
+            log.info(
+                f"    Host-streaming (out-of-core) training: packed "
+                f"genotypes ({data_host.nbytes / 2**30:.1f} GiB) stay in "
+                f"host memory; estimated per-chip HBM need drops to "
+                f"~{per_chip_stream / 2**30:.1f} GiB.")
+        elif self.master and not resident_fits:
             log.warning(
                 f"    Estimated per-chip HBM need ~{per_chip / 2**30:.1f} "
                 f"GiB exceeds ~{cap_gb:.0f} GiB capacity; training will "
                 f"likely OOM. Use --mesh DxS over more chips (packed data "
-                f"and SNP-plane state shard across both axes).")
+                f"and SNP-plane state shard across both axes), or --stream 1 "
+                f"(single-device out-of-core).")
         if use_pallas:
             # Tile-major device layout: (nT, N, 128) -- contiguous DMA blocks
-            # in every fused kernel (see ops.fused_step).
+            # in every fused kernel (see ops.fused_step). The streaming path
+            # keeps the same layout on HOST so per-step batch slices land on
+            # device in kernel order with no device-side relayout.
             data_host = np.ascontiguousarray(pk.tiles_from_rows(data_host))
-        if mesh is not None:
+        if stream:
+            data_dev = data_host  # stays host-side; batches stream per step
+            if mesh is not None:
+                from ..parallel.mesh import global_put
+                col_mask = global_put(jnp.asarray(col_mask_np),
+                                      NamedSharding(mesh, P(SNP_AXIS)))
+            else:
+                col_mask = jnp.asarray(col_mask_np)
+        elif mesh is not None:
             from ..parallel.mesh import global_put
             batch_pspec = (P(SNP_AXIS, DATA_AXIS, None) if use_pallas
                            else P(DATA_AXIS, SNP_AXIS))
@@ -700,7 +917,11 @@ class NeuralAdmixtureTrainer:
         pops_np = np.asarray(pops if supervised else np.zeros(N))
         if self._row_order is not None:
             pops_np = pops_np[self._row_order]
-        pops_arr = jnp.asarray(pops_np, dtype=jnp.int32)
+        if stream:
+            # The streaming epoch slices labels on host per batch.
+            pops_arr = pops_np.astype(np.int32)
+        else:
+            pops_arr = jnp.asarray(pops_np, dtype=jnp.int32)
         if n_proc > 1:
             from ..parallel.mesh import global_put
             pops_arr = global_put(np.asarray(pops_arr),
@@ -720,11 +941,19 @@ class NeuralAdmixtureTrainer:
                 allsum_hosts(np.asarray([int(has_missing)]))[0] > 0)
         no_missing = use_pallas and not has_missing
         self._no_missing = no_missing
-        mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N), supervised,
-                     cfg.supervised_loss_weight, use_pallas=use_pallas,
-                     mesh=mesh, params_template=params,
-                     sample_block=blk, n_rows=resident_rows,
-                     no_missing=no_missing)
+        if stream:
+            mk = partial(make_stream_epoch_fn, tx, N, min(cfg.batch_size, N),
+                         supervised, cfg.supervised_loss_weight,
+                         use_pallas=use_pallas, mesh=mesh,
+                         params_template=params,
+                         sample_block=blk, n_rows=resident_rows,
+                         no_missing=no_missing)
+        else:
+            mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N),
+                         supervised, cfg.supervised_loss_weight,
+                         use_pallas=use_pallas, mesh=mesh,
+                         params_template=params, sample_block=blk,
+                         n_rows=resident_rows, no_missing=no_missing)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
         # LOG PERIODS (the logged epoch + the log_every-1 loss-free epochs
@@ -738,7 +967,11 @@ class NeuralAdmixtureTrainer:
         # latency for fewer dispatches). NA_TPU_EPOCH_GROUP=0 disables.
         log_every = 2 if supervised else cfg.log_every
         e_group = log_every
-        if os.environ.get("NA_TPU_EPOCH_GROUP", "1") == "0" or e_group < 2:
+        if (os.environ.get("NA_TPU_EPOCH_GROUP", "1") == "0" or e_group < 2
+                or stream):
+            # Streaming epochs dispatch per step by construction (the
+            # per-call latency hides under the batch transfers); no
+            # grouped-dispatch variants exist for them.
             e_group = 0
         j_periods = max(1, int(os.environ.get(
             "NA_TPU_EPOCH_GROUP_PERIODS", "1")))

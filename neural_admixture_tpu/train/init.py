@@ -42,41 +42,73 @@ def _project_blocks(packed, Vt, block_rows: int):
     return jax.lax.fori_loop(0, nb, body, jnp.zeros((n_pad, D), jnp.float32))
 
 
-def project_pca(packed, V: np.ndarray, N: int, block_rows: int = 4096
-                ) -> jnp.ndarray:
-    """Project packed genotypes onto V (D, M): returns X_pca (N, D)."""
-    packed = jnp.asarray(packed)
-    n_pad = ((N + block_rows - 1) // block_rows) * block_rows
-    if n_pad != packed.shape[0]:
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((n_pad - packed.shape[0], packed.shape[1]),
-                               packed.dtype)], axis=0)
+@jax.jit
+def _project_one_block(blk, Vt):
+    """One host-streamed row block of (A/2) @ Vt^T (out-of-core path)."""
+    A = unpack_genotypes(blk).astype(jnp.float32) * 0.5
+    return jnp.dot(A, Vt.T, precision=_PREC)
+
+
+def project_pca(packed, V: np.ndarray, N: int, block_rows: int = 4096,
+                stream: bool = None) -> jnp.ndarray:
+    """Project packed genotypes onto V (D, M): returns X_pca (N, D).
+
+    ``stream``: host-streaming (out-of-core) mode -- packed rows stay in
+    host memory and transfer one block at a time (one pass over the data).
+    None = auto by size (utils.hbm.should_stream_host)."""
+    from ..utils.hbm import should_stream_host
+
+    if stream is None:
+        stream = should_stream_host(N * packed.shape[1])
     m_pad = packed.shape[1] * 4
     Vt = jnp.asarray(V, jnp.float32)
     if Vt.shape[1] != m_pad:
         Vt = jnp.concatenate(
             [Vt, jnp.zeros((Vt.shape[0], m_pad - Vt.shape[1]), jnp.float32)],
             axis=1)
+    if stream:
+        packed_np = np.asarray(packed)[:N]
+        out = np.empty((N, Vt.shape[0]), np.float32)
+        for i in range(0, N, block_rows):
+            j = min(i + block_rows, N)
+            blk = packed_np[i:j]
+            if blk.shape[0] < block_rows:  # static shape: one trace
+                blk = np.concatenate(
+                    [blk, np.zeros((block_rows - blk.shape[0], blk.shape[1]),
+                                   blk.dtype)], axis=0)
+            out[i:j] = np.asarray(_project_one_block(jnp.asarray(blk),
+                                                     Vt))[:j - i]
+        return jnp.asarray(out)
+    packed = jnp.asarray(packed)
+    n_pad = ((N + block_rows - 1) // block_rows) * block_rows
+    if n_pad != packed.shape[0]:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((n_pad - packed.shape[0], packed.shape[1]),
+                               packed.dtype)], axis=0)
     return _project_blocks(packed, Vt, block_rows)[:N]
 
 
 def init_p_unsupervised(packed, V: np.ndarray, N: int, M: int, ks: List[int],
-                        seed: int, rows: Tuple[int, int] = None) -> np.ndarray:
+                        seed: int, rows: Tuple[int, int] = None,
+                        stream: bool = None) -> np.ndarray:
     """GMM-based P init. Returns (sum(ks), M) float32, rows per K ascending.
 
     ``rows``: multi-host mode -- ``packed`` holds only this process's sample
     rows [start, end). Each host projects its local rows, the tiny (N, D)
     PCA coordinates are all-gathered, and every host runs the identical GMM
-    (same key, same data) so the resulting P needs no broadcast."""
+    (same key, same data) so the resulting P needs no broadcast.
+
+    ``stream``: host-streaming PCA projection (see project_pca); None =
+    auto by size."""
     if rows is not None:
         from ..parallel.distributed import gather_ragged_rows
         start, end = rows
         X_local = np.asarray(project_pca(packed[:end - start], V,
-                                         end - start))
+                                         end - start, stream=stream))
         X_pca = jnp.asarray(gather_ragged_rows(X_local))
         assert X_pca.shape[0] == N, (X_pca.shape, N)
     else:
-        X_pca = project_pca(packed, V, N)
+        X_pca = project_pca(packed, V, N, stream=stream)
     Vj = jnp.asarray(V, jnp.float32)  # (D, M)
     P_blocks = []
     for K in sorted(ks):

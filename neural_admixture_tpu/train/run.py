@@ -59,6 +59,11 @@ def main_train(args, t0: float) -> int:
         K, min_k, max_k = None, int(args.min_k), int(args.max_k)
         ks = list(range(min_k, max_k + 1))
 
+    # Host-streaming (out-of-core) control, threaded through every phase
+    # that would otherwise make the packed matrix device-resident (RSVD,
+    # PCA projection, training). None = auto by size.
+    stream_cli = {"auto": None, "0": False, "1": True}[
+        str(getattr(args, "stream", "auto") or "auto")]
     cfg = TrainConfig(
         epochs=int(args.epochs), batch_size=int(args.batch_size),
         learning_rate=float(args.learning_rate), seed=int(args.seed),
@@ -70,6 +75,7 @@ def main_train(args, t0: float) -> int:
         checkpoint_path=str(Path(args.save_dir) / f"{args.name}_ckpt.npz"),
         resume=bool(getattr(args, "resume", False)),
         sample_block=int(getattr(args, "sample_block", 1) or 1),
+        stream=stream_cli,
         # --mesh DxS pins the (data, snp) mesh explicitly; --num_gpus N>0
         # pins the device count, all data-parallel (reference semantics);
         # otherwise auto (all visible devices, snp axis engaged only when
@@ -146,7 +152,7 @@ def main_train(args, t0: float) -> int:
         log.info("")
         t_svd = time.time()
         V = rsvd(packed, N, M, int(args.n_components), int(args.seed),
-                 rows=host_rows)
+                 rows=host_rows, stream=stream_cli)
         log.info(f"    Total time SVD: {time.time() - t_svd:.4f}s")
         log.info("")
 
@@ -211,7 +217,8 @@ def main_train(args, t0: float) -> int:
                 log.info(f"    Restart {r + 1}/{restarts} (seed {seed_r})...")
             if y_num is None:
                 P_init = init_p_unsupervised(packed, V, N, M, ks, seed_r,
-                                             rows=host_rows)
+                                             rows=host_rows,
+                                             stream=stream_cli)
             trainer.cfg.seed = seed_r
             if base_ckpt and restarts > 1:
                 trainer.cfg.checkpoint_path = base_ckpt.replace(

@@ -134,3 +134,20 @@ def test_mesh_flag_validation():
     with pytest.raises(AssertionError, match="mesh"):
         main(["train", "--k", "3", "--data_path", DEMO_BED,
               "--save_dir", "/tmp/x", "--name", "m", "--mesh", "8"])
+
+
+def test_stream_flag_cli_matches_resident(tmp_path):
+    """`--stream 1` (host-streaming out-of-core training) through the real
+    CLI must reproduce the resident run's outputs on a (1,1) mesh. The XLA
+    CPU path is bit-exact (tests/test_stream.py); the text outputs are
+    compared at their full printed precision."""
+    common = ["train", "--k", "2", "--data_path", DEMO_BED,
+              "--save_dir", str(tmp_path), "--epochs", "2", "--seed", "42",
+              "--threads", "2", "--batch_size", "64", "--hidden_size", "32",
+              "--mesh", "1x1", "--no_progress"]
+    assert main(common + ["--name", "res", "--stream", "0"]) == 0
+    assert main(common + ["--name", "str", "--stream", "1"]) == 0
+    np.testing.assert_array_equal(np.loadtxt(tmp_path / "str.2.Q"),
+                                  np.loadtxt(tmp_path / "res.2.Q"))
+    np.testing.assert_array_equal(np.loadtxt(tmp_path / "str.2.P"),
+                                  np.loadtxt(tmp_path / "res.2.P"))
