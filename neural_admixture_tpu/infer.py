@@ -193,8 +193,20 @@ def main_infer(args, t0: float) -> int:
     log.info("    Model weights loaded.")
     log.info("")
 
-    data, *_ = read_data(args.data_path)
-    N, M = data.shape
+    # BED/PGEN take the packed-native path (straight to 2-bit rows, like
+    # training): the dense (N, M) uint8 matrix -- 100 GB at biobank scale --
+    # never materializes on host. Other formats decode densely then pack.
+    suffixes = Path(args.data_path).suffixes
+    packed = None
+    if ".bed" in suffixes:
+        from .io.bed import read_bed_packed
+        packed, N, M = read_bed_packed(args.data_path)
+    elif ".pgen" in suffixes:
+        from .io.pgen import read_pgen_packed
+        packed, N, M = read_pgen_packed(args.data_path)
+    else:
+        data, *_ = read_data(args.data_path)
+        N, M = data.shape
     trained_m = config.get("num_snps")
     if from_torch:
         # A reference .pt stores V with exactly the trained M rows (no
@@ -223,8 +235,19 @@ def main_infer(args, t0: float) -> int:
     assert params["V"].shape[0] >= M, (
         f"Data has {M} SNPs but the model was trained with "
         f"{params['V'].shape[0]} (padded) SNP rows in V.")
-    packed, _ = pack_with_padding(data,
-                                  lane_multiple=params["V"].shape[0])
+    if packed is None:
+        packed, _ = pack_with_padding(data,
+                                      lane_multiple=params["V"].shape[0])
+    elif packed.shape[1] * 4 != params["V"].shape[0]:
+        # The packed-native readers pad M to 2048-SNP lanes -- the same
+        # multiple training (and the torch-import path above) pads V to, so
+        # widths agree whenever the variant sets match; a torch config
+        # without num_snps can leave V wider. Zero columns are inert.
+        want_w = params["V"].shape[0] // 4
+        assert want_w >= packed.shape[1], (
+            f"Packed data is {packed.shape[1] * 4} (padded) SNPs wide but V "
+            f"has only {params['V'].shape[0]} rows.")
+        packed = np.pad(packed, ((0, 0), (0, want_w - packed.shape[1])))
 
     log.info("    Running inference...")
     ks = [int(k) for k in config["ks"]]

@@ -151,3 +151,23 @@ def test_stream_flag_cli_matches_resident(tmp_path):
                                   np.loadtxt(tmp_path / "res.2.Q"))
     np.testing.assert_array_equal(np.loadtxt(tmp_path / "str.2.P"),
                                   np.loadtxt(tmp_path / "res.2.P"))
+
+
+def test_infer_cli_pgen_matches_bed(trained_dir, tmp_path):
+    """Projective inference through the packed-native PGEN reader must
+    reproduce the BED-input Q exactly (same variant set, same minor-allele
+    flip semantics in the packed domain)."""
+    from neural_admixture_tpu.io.bed import read_bed
+    from neural_admixture_tpu.io.pgen import write_pgen_mode2
+
+    G = read_bed(DEMO_BED)  # raw dosages; both readers apply the same flip
+    pgen = tmp_path / "demo.pgen"
+    write_pgen_mode2(str(pgen), G)
+    rc = main(["infer", "--name", "cli_run", "--save_dir", str(trained_dir),
+               "--data_path", str(pgen), "--out_name", "proj_pgen",
+               "--threads", "2"])
+    assert rc == 0
+    for k in (2, 3):
+        Qp = np.loadtxt(trained_dir / f"proj_pgen.{k}.Q")
+        Qb = np.loadtxt(trained_dir / f"proj.{k}.Q")
+        np.testing.assert_array_equal(Qp, Qb)
