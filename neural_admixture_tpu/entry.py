@@ -141,7 +141,11 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "training epochs to this directory.")
     parser.add_argument("--checkpoint_every", required=False, default=0,
                         type=int, help="Save a resumable training checkpoint "
-                        "every N epochs (0 = disabled).")
+                        "every N epochs (0 = disabled). Also arms "
+                        "preemption safety: a SIGTERM (TPU-VM maintenance / "
+                        "preemptible scheduler) saves a checkpoint at the "
+                        "next epoch boundary and exits 143; restart with "
+                        "--resume (single-process runs).")
     parser.add_argument("--resume", action="store_true",
                         help="Resume training from the checkpoint in save_dir "
                         "if one exists.")

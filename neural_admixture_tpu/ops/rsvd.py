@@ -117,7 +117,12 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     n_local = end - start
     assert packed.shape[0] >= n_local, (packed.shape, rows)
     if stream is None:
-        stream = should_stream_host(n_local * packed.shape[1])
+        # Footprint if device-resident: packed rows + the (m_pad, k') Omega
+        # and (n, k') sketch transients.
+        kp = max(k + oversampling, 20)
+        stream = should_stream_host(
+            n_local * packed.shape[1]
+            + (packed.shape[1] * 4 + n_local) * kp * 4)
     n_pad = ((n_local + block_rows - 1) // block_rows) * block_rows
     if stream:
         packed = np.asarray(packed[:n_local])

@@ -597,8 +597,12 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         return params, opt_state, loss
 
     step_full = jax.jit(partial(_step, lag=lag_full), donate_argnums=(0, 1))
-    step_masked = jax.jit(partial(_step, lag=lag_masked),
-                          donate_argnums=(0, 1))
+    # When the full and masked programs coincide (XLA path), share one jit
+    # object: b_rem == b_round would otherwise recompile an identical
+    # program (minutes on tunneled backends).
+    step_masked = (step_full if lag_full is lag_masked
+                   else jax.jit(partial(_step, lag=lag_masked),
+                                donate_argnums=(0, 1)))
 
     def run_epoch(params, opt_state, packed_host, col_mask, pops_host, key):
         # Index derivation identical to make_epoch_fn.run_epoch (threefry
@@ -839,14 +843,17 @@ class NeuralAdmixtureTrainer:
         per_chip = ((data_host.nbytes * max(1, n_proc) + batch_bytes)
                     / n_chips + self._plane_state_bytes(m_pad) / n_snp_ax)
         # Host-streaming decision: the per-chip footprint without the
-        # resident genotypes (batches are transferred per step instead).
-        per_chip_stream = (batch_bytes
+        # resident genotypes (batches are transferred per step instead;
+        # the streamed batch lands in the same P(data, snp) sharding, so
+        # it too divides across the mesh).
+        from ..utils.hbm import HBM_BUDGET_FRAC
+        budget = HBM_BUDGET_FRAC * cap_gb * 2**30
+        per_chip_stream = (batch_bytes / n_chips
                            + self._plane_state_bytes(m_pad) / n_snp_ax)
-        resident_fits = per_chip <= 0.9 * cap_gb * 2**30
+        resident_fits = per_chip <= budget
         stream = cfg.stream
         if stream is None:
-            stream = (not resident_fits
-                      and per_chip_stream <= 0.9 * cap_gb * 2**30
+            stream = (not resident_fits and per_chip_stream <= budget
                       and n_proc == 1)
         if stream and n_proc > 1:
             raise NotImplementedError(
@@ -941,19 +948,11 @@ class NeuralAdmixtureTrainer:
                 allsum_hosts(np.asarray([int(has_missing)]))[0] > 0)
         no_missing = use_pallas and not has_missing
         self._no_missing = no_missing
-        if stream:
-            mk = partial(make_stream_epoch_fn, tx, N, min(cfg.batch_size, N),
-                         supervised, cfg.supervised_loss_weight,
-                         use_pallas=use_pallas, mesh=mesh,
-                         params_template=params,
-                         sample_block=blk, n_rows=resident_rows,
-                         no_missing=no_missing)
-        else:
-            mk = partial(make_epoch_fn, tx, N, min(cfg.batch_size, N),
-                         supervised, cfg.supervised_loss_weight,
-                         use_pallas=use_pallas, mesh=mesh,
-                         params_template=params, sample_block=blk,
-                         n_rows=resident_rows, no_missing=no_missing)
+        mk = partial(make_stream_epoch_fn if stream else make_epoch_fn,
+                     tx, N, min(cfg.batch_size, N), supervised,
+                     cfg.supervised_loss_weight, use_pallas=use_pallas,
+                     mesh=mesh, params_template=params, sample_block=blk,
+                     n_rows=resident_rows, no_missing=no_missing)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
         # LOG PERIODS (the logged epoch + the log_every-1 loss-free epochs
@@ -995,6 +994,28 @@ class NeuralAdmixtureTrainer:
                 start_epoch, params, opt_state, key = loaded
                 if self.master:
                     log.info(f"    Resuming from epoch {start_epoch}.")
+
+        # Preemption-safe checkpointing: when the user opted into
+        # checkpointing, a SIGTERM (what TPU-VM maintenance events and
+        # preemptible schedulers deliver) saves a resumable checkpoint at
+        # the next epoch-loop boundary and exits 143 -- restart with
+        # --resume to continue bit-exactly. Single-process only: the save
+        # is a collective (to_host all-gathers sharded leaves), and a
+        # signal landing on hosts at different epochs would deadlock it;
+        # multi-host preemption recovery is the driver's job (requeue +
+        # --resume from the last periodic checkpoint).
+        self._preempted = False
+        prev_sigterm = None
+        if cfg.checkpoint_every and cfg.checkpoint_path and n_proc == 1:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                self._preempted = True
+
+            try:
+                prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:  # not the main thread; feature unavailable
+                prev_sigterm = None
 
         pbar = None
         if cfg.progress and self.master:
@@ -1058,6 +1079,18 @@ class NeuralAdmixtureTrainer:
             epoch += run_n
             if pbar is not None:
                 pbar.update(run_n)
+            if self._preempted and epoch < cfg.epochs:
+                self._save_checkpoint(epoch, params, opt_state, key)
+                if pbar is not None:
+                    pbar.close()
+                log.info(f"    SIGTERM received: resumable checkpoint saved "
+                         f"at epoch {epoch} "
+                         f"({cfg.checkpoint_path}); exiting. Restart with "
+                         "--resume to continue.")
+                raise SystemExit(143)
+        if prev_sigterm is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prev_sigterm)
         if pbar is not None:
             pbar.close()
         # Sync via a scalar fetch from the trained params (the loss of a

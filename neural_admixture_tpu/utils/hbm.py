@@ -7,14 +7,36 @@ against the same NA_TPU_HBM_CAPACITY_GB capacity (default 16 GiB, a v5e).
 """
 import os
 
+# Fraction of capacity a phase may plan to occupy; the rest is headroom for
+# allocator fragmentation and XLA scratch. Shared by every decision site so
+# the phases agree on what "fits".
+HBM_BUDGET_FRAC = 0.9
+
 
 def hbm_capacity_bytes() -> float:
-    """Per-chip HBM capacity; override via NA_TPU_HBM_CAPACITY_GB."""
-    return float(os.environ.get("NA_TPU_HBM_CAPACITY_GB", "16")) * 2**30
+    """Per-chip HBM capacity.
+
+    Priority: NA_TPU_HBM_CAPACITY_GB env override, then the runtime's own
+    report (device.memory_stats()['bytes_limit'] -- available on colocated
+    TPU hosts; the experimental axon tunnel returns None), then 16 GiB
+    (a v5e chip)."""
+    env = os.environ.get("NA_TPU_HBM_CAPACITY_GB")
+    if env:
+        return float(env) * 2**30
+    try:
+        import jax
+        dev = jax.devices()[0]
+        if dev.platform == "tpu":
+            stats = dev.memory_stats()
+            if stats and stats.get("bytes_limit"):
+                return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 2**30
 
 
-def should_stream_host(nbytes: int, frac: float = 0.85) -> bool:
-    """True when a host array of ``nbytes`` should NOT be device-resident:
-    it would claim more than ``frac`` of the per-chip capacity, leaving no
-    room for the op's transients (GEMM sketches, unpack buffers)."""
+def should_stream_host(nbytes: int, frac: float = HBM_BUDGET_FRAC) -> bool:
+    """True when a device-resident footprint of ``nbytes`` (the host array
+    plus the op's own transients -- callers include them) should stream from
+    host instead: it would claim more than ``frac`` of per-chip capacity."""
     return nbytes > frac * hbm_capacity_bytes()

@@ -220,7 +220,7 @@ def test_should_stream_host(monkeypatch):
     from neural_admixture_tpu.utils.hbm import should_stream_host
     monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", "1")
     assert not should_stream_host(int(0.5 * 2**30))
-    assert should_stream_host(int(0.9 * 2**30))
+    assert should_stream_host(int(0.95 * 2**30))
 
 
 @pytest.mark.parametrize("use_pallas,mesh", [(False, (2, 2)),
