@@ -193,9 +193,9 @@ def main_infer(args, t0: float) -> int:
     log.info("    Model weights loaded.")
     log.info("")
 
-    # BED/PGEN take the packed-native path (straight to 2-bit rows, like
-    # training): the dense (N, M) uint8 matrix -- 100 GB at biobank scale --
-    # never materializes on host. Other formats decode densely then pack.
+    # BED/PGEN/VCF take the packed-native path (straight to 2-bit rows,
+    # like training): the dense (N, M) uint8 matrix -- 100 GB at biobank
+    # scale -- never materializes on host.
     suffixes = Path(args.data_path).suffixes
     packed = None
     if ".bed" in suffixes:
@@ -204,6 +204,9 @@ def main_infer(args, t0: float) -> int:
     elif ".pgen" in suffixes:
         from .io.pgen import read_pgen_packed
         packed, N, M = read_pgen_packed(args.data_path)
+    elif ".vcf" in suffixes:
+        from .io.vcf import read_vcf_packed
+        packed, N, M = read_vcf_packed(args.data_path)
     else:
         data, *_ = read_data(args.data_path)
         N, M = data.shape

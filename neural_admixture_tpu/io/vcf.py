@@ -8,9 +8,11 @@ semantics with a dependency-free parser (plain or gzip VCF); snp_reader
 prefers scikit-allel when it is importable and falls back to this.
 """
 import gzip
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
+
+_PACK_BLOCK = 4096  # variants buffered per packing step (streaming reader)
 
 
 def _open(path: str):
@@ -62,3 +64,90 @@ def read_vcf(path: str) -> np.ndarray:
         raise ValueError("Not a VCF file (no #CHROM header)")
     G = np.asarray(rows, dtype=np.uint8)  # (variants, samples)
     return np.ascontiguousarray(G.T)
+
+
+def read_vcf_packed(path: str, lane_multiple: int = 2048
+                    ) -> Tuple[np.ndarray, int, int]:
+    """Stream a VCF straight into the sample-major 2-bit packed layout.
+
+    Same contract as io.bed.read_bed_packed / io.pgen.read_pgen_packed:
+    one parsing pass, variant blocks packed as they arrive (the dense
+    (N, M) uint8 matrix -- 100 GB at biobank scale -- never exists), then
+    validation and the minor-allele flip in the packed domain. Returns
+    (packed (N, W) uint8, N, M). Peak memory is the packed matrix plus one
+    variant block; M need not be known in advance (packed column chunks
+    are concatenated once at the end).
+    """
+    from .bed import (flip_packed_minor_allele, packed_code_counts,
+                      rezero_flip_padding)
+
+    n_samples = None
+    chunks: List[np.ndarray] = []          # packed column chunks, (N, w_i)
+    block: List[List[int]] = []            # pending variant dosage rows
+    M = 0
+
+    def _flush():
+        nonlocal block
+        if not block:
+            return
+        gb = np.asarray(block, dtype=np.uint8).T  # (N, vb)
+        assert gb.max(initial=0) <= 3, (
+            "Only biallelic SNPs are supported. Please make sure "
+            "multiallelic sites have been removed.")
+        vb4 = -(-gb.shape[1] // 4) * 4
+        if vb4 != gb.shape[1]:
+            gb = np.concatenate(
+                [gb, np.zeros((gb.shape[0], vb4 - gb.shape[1]), np.uint8)],
+                axis=1)
+        g4 = gb.reshape(gb.shape[0], vb4 // 4, 4)
+        chunks.append(np.ascontiguousarray(
+            g4[:, :, 0] | (g4[:, :, 1] << 2)
+            | (g4[:, :, 2] << 4) | (g4[:, :, 3] << 6)))
+        block = []
+
+    with _open(path) as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                header = line.rstrip("\n").split("\t")
+                if len(header) < 10:
+                    raise ValueError("VCF has no sample columns")
+                n_samples = len(header) - 9
+                continue
+            if not line.strip():
+                continue
+            if n_samples is None:
+                raise ValueError("VCF data before #CHROM header")
+            fields = line.rstrip("\n").split("\t")
+            samples = fields[9:]
+            if len(samples) != n_samples:
+                raise ValueError(
+                    f"VCF row has {len(samples)} samples, "
+                    f"expected {n_samples}")
+            block.append([_gt_dosage(s) for s in samples])
+            M += 1
+            # Flush only at byte (4-variant) boundaries so chunks
+            # concatenate without bit-level splicing.
+            if len(block) == _PACK_BLOCK:
+                _flush()
+    if n_samples is None:
+        raise ValueError("Not a VCF file (no #CHROM header)")
+    _flush()
+    from .packed import packed_width
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    packed = np.zeros((n_samples, packed_width(m_pad)), np.uint8)
+    w = 0
+    while chunks:
+        c = chunks.pop(0)
+        packed[:, w:w + c.shape[1]] = c
+        w += c.shape[1]
+
+    counts = packed_code_counts(packed, M)
+    assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), (
+        "Only biallelic SNPs are supported. Please make sure multiallelic "
+        "sites have been removed.")
+    mean = float((counts * np.arange(4)).sum()) / max(1, int(counts.sum()))
+    if mean >= 1:
+        packed = rezero_flip_padding(flip_packed_minor_allele(packed), M)
+    return packed, n_samples, M

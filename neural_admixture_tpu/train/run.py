@@ -10,7 +10,8 @@ to the sample-major 2-bit layout (native C++ decoder when built), and every
 consumer -- RSVD, GMM/supervised init, training, final log-likelihood --
 operates on packed rows, so the (N, M) uint8 matrix never materializes in
 host memory (the reference holds it in shared memory, entry.py:186, which
-is untenable at biobank scale). Other formats decode densely then pack.
+is untenable at biobank scale). PGEN and VCF stream the same way;
+only formats without a packed reader decode densely first.
 """
 import time
 from pathlib import Path
@@ -87,12 +88,15 @@ def main_train(args, t0: float) -> int:
 
     try:
         # ------------------------- input pipeline --------------------------
-        # BED and PGEN stream straight into the sample-major 2-bit packed
-        # layout (no (N, M) uint8 matrix on host); other formats decode
-        # densely first. Multi-process runs read only this host's row block.
+        # BED, PGEN, and VCF stream straight into the sample-major 2-bit
+        # packed layout (no (N, M) uint8 matrix on host). Multi-process runs
+        # read only this host's row block (BED/PGEN).
         import jax
         suffixes = Path(args.data_path).suffixes
-        packed_native = ".bed" in suffixes or ".pgen" in suffixes
+        # Formats that stream straight into the 2-bit packed layout; BED and
+        # PGEN additionally support per-host ROW-BLOCK reads (multi-process).
+        row_sliceable = ".bed" in suffixes or ".pgen" in suffixes
+        packed_native = row_sliceable or ".vcf" in suffixes
         # First backend contact below: remote TPU runtimes can take minutes
         # to dial/compile, which otherwise looks like a silent hang.
         log.info("    Initializing the JAX backend...")
@@ -108,7 +112,7 @@ def main_train(args, t0: float) -> int:
                 "use more hosts instead.")
         data, host_rows = None, None
         if n_proc > 1:
-            assert packed_native, (
+            assert row_sliceable, (
                 "Multi-process training requires BED or PGEN input (each "
                 "host reads only its sample rows; VCF is single-process).")
             from math import ceil
@@ -144,10 +148,14 @@ def main_train(args, t0: float) -> int:
             if ".bed" in suffixes:
                 log.info("    Input format is BED.")
                 packed, N, M = read_bed_packed(args.data_path)
-            else:
+            elif ".pgen" in suffixes:
                 log.info("    Input format is PGEN.")
                 from ..io.pgen import read_pgen_packed
                 packed, N, M = read_pgen_packed(args.data_path)
+            else:
+                log.info("    Input format is VCF.")
+                from ..io.vcf import read_vcf_packed
+                packed, N, M = read_vcf_packed(args.data_path)
             log.info(f"    Data contains {N} samples and {M} SNPs.")
             pops = _read_pops(args.pops_path or None)
         else:

@@ -51,3 +51,80 @@ def test_read_vcf_rejects_headerless(tmp_path):
     p.write_text("1\t100\trs1\tA\tG\t50\tPASS\t.\tGT\t0/0\n")
     with pytest.raises(ValueError):
         read_vcf(str(p))
+
+
+def test_read_vcf_packed_matches_dense(tmp_path):
+    """Streaming VCF->packed must equal the dense read + flip + pack,
+    including the minor-allele flip decided from global counts and a
+    block-boundary case (monkeypatched tiny pack block)."""
+    from neural_admixture_tpu.io import vcf as vcf_mod
+    from neural_admixture_tpu.io.packed import pack_with_padding
+    from neural_admixture_tpu.io.vcf import read_vcf_packed
+
+    rng = np.random.default_rng(0)
+    n, m = 7, 19
+    G = rng.integers(0, 3, size=(n, m)).astype(np.uint8)
+    G[0, 3] = 3  # one missing genotype
+    header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + \
+        "\t".join(f"S{i}" for i in range(n))
+    lines = ["##fileformat=VCFv4.2", header]
+    code = {0: "0/0", 1: "0/1", 2: "1/1", 3: "./."}
+    for v in range(m):
+        lines.append(f"1\t{v}\trs{v}\tA\tG\t50\tPASS\t.\tGT\t"
+                     + "\t".join(code[int(G[s, v])] for s in range(n)))
+    p = tmp_path / "t.vcf"
+    p.write_text("\n".join(lines) + "\n")
+
+    # Dense reference path: read + same flip rule + pack.
+    dense = read_vcf(str(p))
+    counts = np.bincount(dense.ravel(), minlength=4)
+    if (counts * np.arange(4)).sum() / counts.sum() >= 1:
+        flip = (2 - dense.astype(np.int16)).astype(np.uint8)
+        flip[dense == 3] = 3
+        dense = flip
+    want, _ = pack_with_padding(dense)
+
+    old = vcf_mod._PACK_BLOCK
+    vcf_mod._PACK_BLOCK = 8  # force multiple flush boundaries
+    try:
+        packed, N, M = read_vcf_packed(str(p))
+    finally:
+        vcf_mod._PACK_BLOCK = old
+    assert (N, M) == (n, m)
+    np.testing.assert_array_equal(packed, want)
+
+
+def test_read_vcf_packed_rejects_multiallelic(tmp_path):
+    text = VCF_TEXT + "1\t400\trs4\tT\tC\t50\tPASS\t.\tGT\t2/2\t0/0\t0/0\n"
+    p = tmp_path / "multi.vcf"
+    p.write_text(text)
+    from neural_admixture_tpu.io.vcf import read_vcf_packed
+    with pytest.raises(AssertionError, match="biallelic"):
+        read_vcf_packed(str(p))
+
+
+def test_cli_train_vcf_packed_path(tmp_path):
+    """`train` on a VCF goes through the streaming packed reader (run.py
+    packed_native branch) end to end."""
+    from neural_admixture_tpu.entry import main
+
+    rng = np.random.default_rng(1)
+    n, m = 24, 40
+    G = rng.integers(0, 3, size=(n, m)).astype(np.uint8)
+    header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + \
+        "\t".join(f"S{i}" for i in range(n))
+    lines = ["##fileformat=VCFv4.2", header]
+    code = {0: "0/0", 1: "0/1", 2: "1/1"}
+    for v in range(m):
+        lines.append(f"1\t{v}\trs{v}\tA\tG\t50\tPASS\t.\tGT\t"
+                     + "\t".join(code[int(G[s, v])] for s in range(n)))
+    p = tmp_path / "train.vcf"
+    p.write_text("\n".join(lines) + "\n")
+    rc = main(["train", "--k", "2", "--data_path", str(p),
+               "--save_dir", str(tmp_path), "--name", "v", "--epochs", "1",
+               "--batch_size", "16", "--hidden_size", "16",
+               "--n_components", "4", "--mesh", "1x1", "--no_progress"])
+    assert rc == 0
+    Q = np.loadtxt(tmp_path / "v.2.Q")
+    assert Q.shape == (n, 2)
+    np.testing.assert_allclose(Q.sum(axis=1), 1.0, rtol=1e-4)
