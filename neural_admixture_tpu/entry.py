@@ -26,12 +26,29 @@ from .utils.seeding import set_seed
 __version__ = "0.1.0"
 
 
+class _ConfigParser(argparse.ArgumentParser):
+    """ArgumentParser that records its own actions as ``add_argument``
+    returns them, so YAML config support needs no argparse private API
+    (the documented ``add_argument`` return value IS the Action)."""
+
+    def __init__(self, *a, **kw):
+        # Before super().__init__: the base constructor itself registers
+        # the -h/--help action through add_argument.
+        self.config_actions: List[argparse.Action] = []
+        super().__init__(*a, **kw)
+
+    def add_argument(self, *a, **kw):
+        action = super().add_argument(*a, **kw)
+        self.config_actions.append(action)
+        return action
+
+
 def _add_config_arg(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--config", required=False, default=None, type=str,
                         help="YAML file with default values for any flag.")
 
 
-def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
+def _apply_yaml_defaults(parser: "_ConfigParser", argv: List[str]):
     """configargparse-style YAML config support: values in the YAML file
     become parser defaults (CLI flags still win), and required flags
     provided by the file are no longer demanded on the command line."""
@@ -46,7 +63,7 @@ def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
     import yaml
     with open(cfg_path, "r") as fb:
         cfg = yaml.safe_load(fb) or {}
-    dests = {a.dest: a for a in parser._actions}
+    dests = {a.dest: a for a in parser.config_actions}
     unknown = [k for k in cfg if k not in dests]
     if unknown:
         parser.error(f"unknown keys in config file {cfg_path}: {unknown}")
@@ -57,13 +74,13 @@ def _apply_yaml_defaults(parser: argparse.ArgumentParser, argv: List[str]):
         if action.type is not None and isinstance(value, str):
             cfg[key] = action.type(value)
     parser.set_defaults(**cfg)
-    for action in parser._actions:
+    for action in parser.config_actions:
         if action.required and action.dest in cfg:
             action.required = False
 
 
 def parse_train_args(argv: List[str]) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(
+    parser = _ConfigParser(
         prog="neural-admixture train",
         description="Rapid population clustering with autoencoders - training mode")
     _add_config_arg(parser)
@@ -154,7 +171,7 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
 
 
 def parse_infer_args(argv: List[str]) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(
+    parser = _ConfigParser(
         prog="neural-admixture infer",
         description="Rapid population clustering with autoencoders - inference mode")
     _add_config_arg(parser)

@@ -30,6 +30,10 @@ def _gt_dosage(sample_field: str) -> int:
     gt = sample_field.split(":", 1)[0]
     total = 0
     for allele in gt.replace("|", "/").split("/"):
+        # strip() guards the last sample column of a CRLF VCF, where a
+        # missing allele arrives as '.\r' (numeric alleles already parse
+        # because int() tolerates surrounding whitespace).
+        allele = allele.strip()
         total += -1 if allele in (".", "") else int(allele)
     if total < 0:
         return 3
@@ -45,7 +49,7 @@ def read_vcf(path: str) -> np.ndarray:
             if line.startswith("##"):
                 continue
             if line.startswith("#CHROM"):
-                header = line.rstrip("\n").split("\t")
+                header = line.rstrip("\r\n").split("\t")
                 if len(header) < 10:
                     raise ValueError("VCF has no sample columns")
                 n_samples = len(header) - 9
@@ -54,7 +58,7 @@ def read_vcf(path: str) -> np.ndarray:
                 continue
             if n_samples is None:
                 raise ValueError("VCF data before #CHROM header")
-            fields = line.rstrip("\n").split("\t")
+            fields = line.rstrip("\r\n").split("\t")
             samples = fields[9:]
             if len(samples) != n_samples:
                 raise ValueError(
@@ -110,7 +114,7 @@ def read_vcf_packed(path: str, lane_multiple: int = 2048
             if line.startswith("##"):
                 continue
             if line.startswith("#CHROM"):
-                header = line.rstrip("\n").split("\t")
+                header = line.rstrip("\r\n").split("\t")
                 if len(header) < 10:
                     raise ValueError("VCF has no sample columns")
                 n_samples = len(header) - 9
@@ -119,7 +123,7 @@ def read_vcf_packed(path: str, lane_multiple: int = 2048
                 continue
             if n_samples is None:
                 raise ValueError("VCF data before #CHROM header")
-            fields = line.rstrip("\n").split("\t")
+            fields = line.rstrip("\r\n").split("\t")
             samples = fields[9:]
             if len(samples) != n_samples:
                 raise ValueError(

@@ -1021,7 +1021,8 @@ class NeuralAdmixtureTrainer:
         if cfg.progress and self.master:
             pbar = tqdm(desc="Epochs", file=sys.stderr,
                         initial=start_epoch, total=cfg.epochs)
-        if cfg.profile_dir:
+        trace_on = bool(cfg.profile_dir)
+        if trace_on:
             jax.profiler.start_trace(cfg.profile_dir)
         t_train = time.time()
         loss_sum = None
@@ -1036,61 +1037,72 @@ class NeuralAdmixtureTrainer:
                        for i in range(n - 1))
 
         epoch = start_epoch
-        while epoch < cfg.epochs:
-            # All ranks must select the same program: the variants differ
-            # in collectives under shard_map (the loss psum is DCE'd in the
-            # fast ones), and the selection inputs (epoch, log_every,
-            # checkpoint cadence) are rank-identical. Only logging is
-            # master-gated.
-            logged = epoch % log_every == 0
-            run_n, group_fn = 1, None
-            if logged and e_group:
-                def fits(n):
-                    return (epoch + n <= cfg.epochs
-                            and not _ckpt_inside(epoch, n))
-                if epoch_fn_multi_j is not None and fits(e_group * j_periods):
-                    run_n, group_fn = e_group * j_periods, epoch_fn_multi_j
-                elif fits(e_group):
-                    run_n, group_fn = e_group, epoch_fn_multi
-            if run_n > 1:
-                ks = []
-                for _ in range(run_n):
+        try:
+            while epoch < cfg.epochs:
+                # All ranks must select the same program: the variants differ
+                # in collectives under shard_map (the loss psum is DCE'd in the
+                # fast ones), and the selection inputs (epoch, log_every,
+                # checkpoint cadence) are rank-identical. Only logging is
+                # master-gated.
+                logged = epoch % log_every == 0
+                run_n, group_fn = 1, None
+                if logged and e_group:
+                    def fits(n):
+                        return (epoch + n <= cfg.epochs
+                                and not _ckpt_inside(epoch, n))
+                    if epoch_fn_multi_j is not None and fits(e_group * j_periods):
+                        run_n, group_fn = e_group * j_periods, epoch_fn_multi_j
+                    elif fits(e_group):
+                        run_n, group_fn = e_group, epoch_fn_multi
+                if run_n > 1:
+                    ks = []
+                    for _ in range(run_n):
+                        key, k_epoch = jax.random.split(key)
+                        ks.append(k_epoch)
+                    params, opt_state, losses = group_fn(
+                        params, opt_state, data_dev, col_mask, pops_arr,
+                        jnp.stack(ks))
+                    loss_sum = losses[-1]
+                    if self.master:
+                        for i, ls in enumerate(np.asarray(losses)):
+                            log.info(f"            Loss in epoch "
+                                     f"{epoch + i * log_every:3d} is {ls:,.0f}")
+                else:
                     key, k_epoch = jax.random.split(key)
-                    ks.append(k_epoch)
-                params, opt_state, losses = group_fn(
-                    params, opt_state, data_dev, col_mask, pops_arr,
-                    jnp.stack(ks))
-                loss_sum = losses[-1]
-                if self.master:
-                    for i, ls in enumerate(np.asarray(losses)):
-                        log.info(f"            Loss in epoch "
-                                 f"{epoch + i * log_every:3d} is {ls:,.0f}")
-            else:
-                key, k_epoch = jax.random.split(key)
-                epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
-                params, opt_state, loss_sum = epoch_fn(
-                    params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
-                if logged and self.master:
-                    log.info(f"            Loss in epoch {epoch:3d} is "
-                             f"{float(loss_sum):,.0f}")
-            if (cfg.checkpoint_every and cfg.checkpoint_path
-                    and (epoch + run_n) % cfg.checkpoint_every == 0):
-                self._save_checkpoint(epoch + run_n, params, opt_state, key)
-            epoch += run_n
-            if pbar is not None:
-                pbar.update(run_n)
-            if self._preempted and epoch < cfg.epochs:
-                self._save_checkpoint(epoch, params, opt_state, key)
+                    epoch_fn = epoch_fn_logged if logged else epoch_fn_fast
+                    params, opt_state, loss_sum = epoch_fn(
+                        params, opt_state, data_dev, col_mask, pops_arr, k_epoch)
+                    if logged and self.master:
+                        log.info(f"            Loss in epoch {epoch:3d} is "
+                                 f"{float(loss_sum):,.0f}")
+                if (cfg.checkpoint_every and cfg.checkpoint_path
+                        and (epoch + run_n) % cfg.checkpoint_every == 0):
+                    self._save_checkpoint(epoch + run_n, params, opt_state, key)
+                epoch += run_n
                 if pbar is not None:
-                    pbar.close()
-                log.info(f"    SIGTERM received: resumable checkpoint saved "
-                         f"at epoch {epoch} "
-                         f"({cfg.checkpoint_path}); exiting. Restart with "
-                         "--resume to continue.")
-                raise SystemExit(143)
-        if prev_sigterm is not None:
-            import signal
-            signal.signal(signal.SIGTERM, prev_sigterm)
+                    pbar.update(run_n)
+                if self._preempted and epoch < cfg.epochs:
+                    self._save_checkpoint(epoch, params, opt_state, key)
+                    if pbar is not None:
+                        pbar.close()
+                    log.info(f"    SIGTERM received: resumable checkpoint saved "
+                             f"at epoch {epoch} "
+                             f"({cfg.checkpoint_path}); exiting. Restart with "
+                             "--resume to continue.")
+                    raise SystemExit(143)
+        except BaseException:
+            # An exception (incl. the SIGTERM SystemExit above) must not
+            # leave a dangling profiler trace (ADVICE r3).
+            if trace_on:
+                jax.profiler.stop_trace()
+                trace_on = False
+            raise
+        finally:
+            # Always hand the previous SIGTERM handler back, on success
+            # and on every exception path alike (ADVICE r3).
+            if prev_sigterm is not None:
+                import signal
+                signal.signal(signal.SIGTERM, prev_sigterm)
         if pbar is not None:
             pbar.close()
         # Sync via a scalar fetch from the trained params (the loss of a
@@ -1099,7 +1111,7 @@ class NeuralAdmixtureTrainer:
         if loss_sum is not None:
             float(jnp.sum(params["rmsnorm"]["weight"]))
         self.train_seconds = time.time() - t_train
-        if cfg.profile_dir:
+        if trace_on:
             jax.profiler.stop_trace()
         epochs_run = cfg.epochs - start_epoch
         if self.master and epochs_run and self.train_seconds > 0:

@@ -22,7 +22,16 @@ def hbm_capacity_bytes() -> float:
     (a v5e chip)."""
     env = os.environ.get("NA_TPU_HBM_CAPACITY_GB")
     if env:
-        return float(env) * 2**30
+        try:
+            gb = float(env)
+        except ValueError:
+            raise ValueError(
+                f"NA_TPU_HBM_CAPACITY_GB must be a number of GiB, got "
+                f"{env!r}") from None
+        if gb <= 0:
+            raise ValueError(
+                f"NA_TPU_HBM_CAPACITY_GB must be > 0, got {env!r}")
+        return gb * 2**30
     try:
         import jax
         dev = jax.devices()[0]

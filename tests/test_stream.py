@@ -250,3 +250,21 @@ def test_stream_trainer_mesh(use_pallas, mesh, tmp_path, monkeypatch):
     assert not t1._streamed and t2._streamed
     np.testing.assert_allclose(Q2[0], Q1[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(P2[0], P1[0], rtol=1e-5, atol=1e-6)
+
+
+def test_hbm_capacity_env_validation(monkeypatch):
+    """NA_TPU_HBM_CAPACITY_GB must be rejected loudly when non-numeric or
+    non-positive instead of crashing deep inside an auto-stream decision
+    (ADVICE r3)."""
+    import pytest
+
+    from neural_admixture_tpu.utils.hbm import hbm_capacity_bytes
+
+    monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", "2")
+    assert hbm_capacity_bytes() == 2 * 2**30
+    monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", "sixteen")
+    with pytest.raises(ValueError, match="NA_TPU_HBM_CAPACITY_GB"):
+        hbm_capacity_bytes()
+    monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", "0")
+    with pytest.raises(ValueError, match="NA_TPU_HBM_CAPACITY_GB"):
+        hbm_capacity_bytes()

@@ -128,3 +128,24 @@ def test_cli_train_vcf_packed_path(tmp_path):
     Q = np.loadtxt(tmp_path / "v.2.Q")
     assert Q.shape == (n, 2)
     np.testing.assert_allclose(Q.sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_read_vcf_crlf_missing_last_column(tmp_path):
+    """CRLF line endings: the last sample column keeps '\r' unless the
+    reader strips it -- a missing genotype './.' there must still map to
+    3 instead of raising (ADVICE r3). Covers both the dense and the
+    streaming packed readers."""
+    from neural_admixture_tpu.io.packed import unpack_2bit_rows
+    from neural_admixture_tpu.io.vcf import read_vcf_packed
+
+    p = tmp_path / "crlf.vcf"
+    p.write_bytes(VCF_TEXT.replace("\n", "\r\n").encode())
+    G = read_vcf(str(p))
+    np.testing.assert_array_equal(G, EXPECTED)
+
+    packed, n, m = read_vcf_packed(str(p))
+    assert (n, m) == EXPECTED.shape
+    # mean >= 1 -> the packed reader applies the minor-allele flip
+    flipped = (2 - EXPECTED.astype(np.int16)).astype(np.uint8)
+    flipped[EXPECTED == 3] = 3
+    np.testing.assert_array_equal(unpack_2bit_rows(packed, m), flipped)
