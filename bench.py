@@ -121,36 +121,50 @@ def bench_jax():
                 [packed_dev, pad if stream else jax.device_put(pad)],
                 axis=axis)
 
-    # Measure the production-dominant path: the loss-free epoch (the loss
-    # forward is only computed on logging epochs). The engine runs the
-    # unlogged epochs between logs GROUPED in one jit dispatch (lax.scan
-    # over per-epoch keys, engine.make_epoch_fn(epochs_per_call=E)); the
-    # bench mirrors that by default. NA_BENCH_GROUP=0 measures per-epoch
-    # dispatch instead.
+    # Measure ONE TRUE PRODUCTION LOG PERIOD: the engine runs each period
+    # (1 logged epoch -- merged loss+dq+dp kernel on the Pallas path --
+    # followed by log_every-1 loss-free epochs) as one grouped jit dispatch
+    # (engine.make_epoch_fn(epochs_per_call=E, period_len=E)); the bench's
+    # default EPOCHS_MEASURE=5 with compute_loss=True reproduces that
+    # dispatch:compute ratio AND epoch mix exactly. NA_BENCH_LOSSFREE=1
+    # restores the pre-round-4 all-loss-free measurement (the cheapest
+    # variant -- useful for kernel A/Bs, not the headline);
+    # NA_BENCH_GROUP=0 measures per-epoch dispatch instead.
     group = (os.environ.get("NA_BENCH_GROUP", "1") == "1"
              and EPOCHS_MEASURE > 1 and not stream)
+    lossfree = os.environ.get("NA_BENCH_LOSSFREE") == "1"
     no_missing = use_pallas and not pk.packed_has_missing(packed)
     if stream:
-        epoch_fn = make_stream_epoch_fn(
+        mk = lambda **kw: make_stream_epoch_fn(  # noqa: E731
             tx, N, B, supervised=False, supervised_loss_weight=0.0,
-            use_pallas=use_pallas, compute_loss=False, params_template=params,
-            sample_block=blk, n_rows=n_rows, no_missing=no_missing)
+            use_pallas=use_pallas, params_template=params,
+            sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
+        epoch_fns = [mk(compute_loss=not lossfree)] + [
+            mk(compute_loss=False)] * (EPOCHS_MEASURE - 1)
+    elif group:
+        epoch_fn = make_epoch_fn(
+            tx, N, B, supervised=False, supervised_loss_weight=0.0,
+            use_pallas=use_pallas, compute_loss=not lossfree,
+            params_template=params, sample_block=blk, n_rows=n_rows,
+            no_missing=no_missing, epochs_per_call=EPOCHS_MEASURE,
+            period_len=0 if lossfree else EPOCHS_MEASURE)
     else:
         mk = lambda **kw: make_epoch_fn(  # noqa: E731
             tx, N, B, supervised=False, supervised_loss_weight=0.0,
-            use_pallas=use_pallas, compute_loss=False, params_template=params,
+            use_pallas=use_pallas, params_template=params,
             sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
-        epoch_fn = mk(epochs_per_call=EPOCHS_MEASURE) if group else mk()
+        epoch_fns = [mk(compute_loss=not lossfree)] + [
+            mk(compute_loss=False)] * (EPOCHS_MEASURE - 1)
     key = jax.random.PRNGKey(42)
 
     def run_epochs(params, opt_state, key):
         if group:
             return epoch_fn(params, opt_state, packed_dev, col_mask, pops,
                             jax.random.split(key, EPOCHS_MEASURE))[:2]
-        for _ in range(EPOCHS_MEASURE):
+        for fn in epoch_fns:
             key, ke = jax.random.split(key)
-            params, opt_state, _ = epoch_fn(params, opt_state, packed_dev,
-                                            col_mask, pops, ke)
+            params, opt_state, _ = fn(params, opt_state, packed_dev,
+                                      col_mask, pops, ke)
         return params, opt_state
 
     # NOTE: sync via a scalar value fetch from the updated params --

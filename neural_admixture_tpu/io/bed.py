@@ -99,9 +99,20 @@ def bed_code_counts(B: np.ndarray, N: int) -> np.ndarray:
     tail padding samples of each byte. Returns shape (4,) int64.
 
     Uses a 256-bin byte histogram + the per-byte code-count LUT, so the
-    extra memory is O(256) regardless of matrix size (this is the
-    biobank-path validator; it must not allocate N*M-scale temporaries)."""
-    hist = np.bincount(B.ravel(), minlength=256).astype(np.int64)
+    extra memory is one bounded reused buffer regardless of matrix size
+    (this is the biobank-path validator; it must not allocate N*M-scale
+    temporaries -- np.bincount on the raw bytes would first cast ALL of
+    them to intp, an 8x copy, so the cast runs chunked through ``buf``).
+    ``B`` may be a memmap (one sequential read pass)."""
+    flat = B.reshape(-1)
+    total = flat.size
+    chunk = int(max(1 << 16, min(1 << 22, total // 32))) or 1
+    buf = np.empty(chunk, np.intp)
+    hist = np.zeros(256, np.int64)
+    for i in range(0, total, chunk):
+        n = min(chunk, total - i)
+        np.copyto(buf[:n], flat[i:i + n])
+        hist += np.bincount(buf[:n], minlength=256)
     counts = hist @ _BYTE_CODE_CNT  # (256,) @ (256, 4) -> (4,)
     # subtract the per-SNP padding samples (bits beyond N in the last byte)
     tail = (-N) % 4
@@ -195,18 +206,34 @@ def read_bed_packed_rows(file: str, start: int, end: int,
     return packed, packed_code_counts(packed, M)
 
 
-def read_bed_packed(file: str, lane_multiple: int = 2048
-                    ) -> Tuple[np.ndarray, int, int]:
+def read_bed_packed(file: str, lane_multiple: int = 2048,
+                    block_m: int = None) -> Tuple[np.ndarray, int, int]:
     """Read a BED fileset straight into the sample-major 2-bit packed layout
-    without materializing the (N, M) uint8 matrix (native decoder required
-    for large inputs; NumPy fallback decodes then packs).
+    without materializing the (N, M) uint8 matrix OR the whole SNP-major
+    byte matrix: the .bed payload is memmapped and decoded in SNP blocks of
+    ``block_m`` variants, so peak host memory is the packed output plus
+    O(block) temporaries (~25 GB of .bed bytes at 100K x 1M would otherwise
+    sit in RAM alongside the packed copy; the reference additionally holds
+    the full dense matrix, snp_reader.py:16-45).
 
     Applies the reference's validation and minor-allele flip semantics
-    (snp_reader.py:109-110) in the packed/byte domain. Returns
-    (packed (N, m_pad//4) uint8, N, M).
+    (snp_reader.py:109-110) in the packed/byte domain; the flip runs
+    chunked in place (the functional flip would copy the full packed
+    array). Returns (packed (N, m_pad//4) uint8, N, M).
     """
-    B, N, M = read_bed_bytes(file)
-    counts = bed_code_counts(B, N)
+    file_path = Path(file)
+    bed_file = file_path.with_suffix(".bed")
+    N, M = read_bed_dims(file)
+    with open(bed_file, "rb") as bed:
+        magic = bed.read(3)
+        if magic[:2] != b"\x6c\x1b":
+            raise ValueError(f"{bed_file} is not a PLINK BED file (bad magic)")
+        if magic[2] != 1:
+            raise ValueError("Only SNP-major (mode 1) BED files are supported")
+    mm = np.memmap(bed_file, dtype=np.uint8, mode="r", offset=3,
+                   shape=(M, ceil(N / 4)))
+    # O(256)-memory histogram over the memmap (one sequential pass).
+    counts = bed_code_counts(mm, N)
     assert counts[0] > 0 and (counts[2] > 0 or counts[3] > 0), \
         "Only biallelic SNPs are supported. Please make sure multiallelic " \
         "sites have been removed."
@@ -219,13 +246,28 @@ def read_bed_packed(file: str, lane_multiple: int = 2048
         native_ok = bed_native.available()
     except ImportError:
         native_ok = False
-    if native_ok:
-        packed = bed_native.bed_to_packed(B, N, m_pad)
-    else:
-        from .packed import pack_2bit_rows
-        packed = pack_2bit_rows(decode_bed_numpy(B, N), m_pad=m_pad)
-    del B
+    if block_m is None:
+        # ~256 MB of block temporaries (the dominant one is the NumPy
+        # fallback's (N, block_m) dense block).
+        block_m = (1 << 28) // max(N, 1)
+    block_m = max(4, (block_m // 4) * 4)  # 4 SNPs = 1 packed byte column
+    packed = np.zeros((N, m_pad // 4), dtype=np.uint8)
+    for m0 in range(0, M, block_m):
+        m1 = min(m0 + block_m, M)
+        B_blk = np.ascontiguousarray(mm[m0:m1])
+        # The final block carries the lane padding out to m_pad.
+        w = (m_pad if m1 == M else m1) - m0
+        if native_ok:
+            pb = bed_native.bed_to_packed(B_blk, N, w)
+        else:
+            from .packed import pack_2bit_rows
+            pb = pack_2bit_rows(decode_bed_numpy(B_blk, N), m_pad=w)
+        packed[:, m0 // 4:(m0 + w) // 4] = pb
+        del B_blk, pb
+    del mm
 
     if mean >= 1:
-        packed = rezero_flip_padding(flip_packed_minor_allele(packed), M)
+        for i in range(0, N, 4096):
+            packed[i:i + 4096] = flip_packed_minor_allele(packed[i:i + 4096])
+        rezero_flip_padding(packed, M)
     return packed, N, M

@@ -79,8 +79,11 @@ class TrainConfig:
     # step (make_stream_epoch_fn) -- for datasets whose packed bytes exceed
     # device HBM on the available mesh. None = auto (stream only when the
     # resident estimate exceeds capacity but the streaming one fits);
-    # True/False force. Single-process runs only (one device or a
-    # single-host mesh: batches land straight in the P(data, snp) sharding).
+    # True/False force. Works on one device, a single-host mesh (batches
+    # land straight in the P(data, snp) sharding), or a multi-host mesh
+    # (each host streams only its own row block, host-partition-stratified
+    # sampling; see _stratified_plan) -- out-of-core past a whole pod's
+    # combined HBM.
     stream: Optional[bool] = None
     # Observability / resilience (absent in the reference, SURVEY.md section 5):
     profile_dir: Optional[str] = None    # jax.profiler trace of the epochs
@@ -241,6 +244,68 @@ def _batch_plan(N: int, batch_size: int, use_pallas: bool, mesh, blk: int,
     return b_round, nb, b_rem, full_real
 
 
+def _stratified_plan(key, ep: int, blk: int, N: int, n_rows: int,
+                     b_round: int, nb: int, b_rem: int):
+    """Host-partition-stratified sampling plan (multi-host out-of-core).
+
+    When the packed genotypes live only in each host's RAM (--stream on a
+    multi-host mesh), a batch row cannot come from another host without a
+    per-step network exchange; instead each of the ``ep`` host partitions
+    samples its OWN local rows to fill its OWN shard of every batch -- the
+    semantics of the reference's DistributedSampler, which also confines
+    each rank to a fixed partition
+    (/root/reference/neural_admixture/src/loaders.py:30-35). Partitions are
+    themselves random sample subsets (per-process pre-shuffle,
+    shard_row_order / the host row blocks), so every batch remains a random
+    population mixture.
+
+    Returns GLOBAL resident indices ``(idx_full (nb-1, F), idx_rem (R,))``
+    with batch columns [p*F_p, (p+1)*F_p) holding partition p's picks --
+    exactly the rows of the P(data, snp) batch shard that partition p's
+    devices own, so a streamed host can slice its columns out locally.
+    Unit = ``blk`` consecutive rows when blk > 1 (indices are block ids
+    over the padded resident array; each partition permutes ALL its local
+    blocks, so padding blocks can land in any batch and every batch must
+    run the MASKED kernels), else single rows (real local rows padded with
+    the sentinel N). Threefry draws are identical on every host:
+    fold_in(key, p)."""
+    assert n_rows % ep == 0, (n_rows, ep)
+    rows_pp = n_rows // ep
+    unit = blk * ep if blk > 1 else ep
+    # Holds whenever ep divides the mesh's data axis (host_sample_shard
+    # asserts it): b_round/b_rem are multiples of batch_align ⊇ d_sz ⊇ ep.
+    assert b_round % unit == 0 and b_rem % unit == 0, (b_round, b_rem, unit)
+    if blk > 1:
+        upp = rows_pp // blk
+        F_p, R_p = b_round // (blk * ep), b_rem // (blk * ep)
+        assert (nb - 1) * F_p + R_p == upp, (nb, F_p, R_p, upp)
+        perms = jnp.stack([
+            jax.random.permutation(jax.random.fold_in(key, p), upp) + p * upp
+            for p in range(ep)])
+    else:
+        F_p, R_p = b_round // ep, b_rem // ep
+        supply = (nb - 1) * F_p + R_p
+        parts = []
+        for p in range(ep):
+            n_local = min(rows_pp, max(0, N - p * rows_pp))
+            # supply * ep = (nb-1)*b_round + b_rem >= ceil(N/align)*align
+            # >= rows_pp * ep (align is a multiple of d_sz and ep | d_sz).
+            assert supply >= n_local, (supply, n_local, ep, N)
+            perm = (jax.random.permutation(jax.random.fold_in(key, p),
+                                           max(n_local, 1))[:n_local]
+                    + p * rows_pp)
+            if supply > n_local:
+                perm = jnp.concatenate(
+                    [perm, jnp.full((supply - n_local,), N, perm.dtype)])
+            parts.append(perm)
+        perms = jnp.stack(parts)
+    idx_full = (perms[:, :(nb - 1) * F_p]
+                .reshape(ep, nb - 1, F_p).transpose(1, 0, 2)
+                .reshape(nb - 1, ep * F_p))
+    idx_rem = perms[:, (nb - 1) * F_p:].reshape(ep * R_p)
+    return idx_full, idx_rem
+
+
 def _make_loss_and_grad(masked: bool, supervised: bool,
                         supervised_loss_weight: float, use_pallas: bool,
                         mesh, params_template, no_missing: bool,
@@ -276,8 +341,15 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   mesh=None, params_template=None, compute_loss: bool = True,
                   sample_block: int = 1, n_rows: Optional[int] = None,
                   no_missing: bool = False, epochs_per_call: int = 1,
-                  period_len: int = 0, _raw: bool = False):
+                  period_len: int = 0, stratified: int = 0,
+                  _raw: bool = False):
     """Build the jitted one-epoch function (scan over shuffled batches).
+
+    ``stratified > 0``: host-partition-stratified sampling over that many
+    partitions (see _stratified_plan) -- the policy of multi-host streamed
+    runs, selectable here (resident path) so a resident run can reproduce a
+    streamed multi-host run exactly (NA_TPU_STRATIFIED=1). Forces the
+    masked kernels on every batch.
 
     ``epochs_per_call > 1`` returns a function taking a STACK of per-epoch
     keys (E, 2) and running E epochs inside one jit -- one host dispatch
@@ -314,6 +386,10 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     blk = max(1, sample_block)
     b_round, nb, b_rem, full_real = _batch_plan(
         N, batch_size, use_pallas, mesh, blk, params_template, n_rows)
+    if stratified:
+        # Padding blocks / sentinel rows can land in ANY batch under the
+        # stratified plan, so no batch is provably all-real.
+        full_real = False
     import os
 
     # Gather-free full batches (OPT-IN, NA_TPU_INDEXED=1): the fused
@@ -379,7 +455,11 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         row_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def run_epoch(params, opt_state, packed, col_mask, pops, key):
-        if blk > 1:
+        if stratified:
+            idx_full, idx_rem = _stratified_plan(
+                key, stratified, blk, N, n_rows if blk > 1 else
+                (n_rows or N), b_round, nb, b_rem)
+        elif blk > 1:
             # Permute the FULL data blocks; full batches take the first
             # (nb-1) * F of them, the remainder batch takes the rest plus
             # the partial data block (if N % blk) and the all-padding blocks
@@ -492,7 +572,7 @@ def make_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             tx, N, batch_size, supervised, supervised_loss_weight,
             use_pallas=use_pallas, mesh=mesh, params_template=params_template,
             compute_loss=False, sample_block=sample_block, n_rows=n_rows,
-            no_missing=no_missing, _raw=True)
+            no_missing=no_missing, stratified=stratified, _raw=True)
     n_per = period_len if (compute_loss and period_len) else epochs_per_call
     assert epochs_per_call % n_per == 0, (epochs_per_call, n_per)
     n_periods = epochs_per_call // n_per
@@ -530,7 +610,7 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                          params_template=None,
                          compute_loss: bool = True, sample_block: int = 1,
                          n_rows: Optional[int] = None,
-                         no_missing: bool = False):
+                         no_missing: bool = False, stratified: int = 0):
     """Host-streaming (out-of-core) counterpart of ``make_epoch_fn``.
 
     The packed genotype matrix stays in HOST memory; each step's batch is
@@ -563,11 +643,25 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
     runs the same shard_map loss/grad as the resident path -- out-of-core
     over a whole host's mesh, for packed matrices that exceed even the
     mesh's combined HBM.
+
+    With ``stratified = ep > 0`` (multi-HOST out-of-core), sampling follows
+    the host-partition-stratified plan (_stratified_plan). In a
+    multi-process run, ``packed_host`` / ``pops_host`` are this process's
+    LOCAL row block (rows [p*rows_pp, (p+1)*rows_pp) of the resident
+    layout) and the global (N,) labels respectively; each host gathers only
+    its own shard of every batch and the shards join into the global
+    P(data, snp) batch via jax.make_array_from_process_local_data -- so a
+    dataset whose packed bytes exceed a whole POD's combined HBM trains,
+    each host holding only rows_pp packed rows in RAM. Single-process with
+    ``stratified`` set reproduces the same runs for tests
+    (NA_TPU_STRATIFIED=1 + NA_TPU_EMULATE_PROC_SHARDS).
     """
     import os
     blk = max(1, sample_block)
     b_round, nb, b_rem, full_real = _batch_plan(
         N, batch_size, use_pallas, mesh, blk, params_template, n_rows)
+    if stratified:
+        full_real = False  # see _stratified_plan: every batch masks
     merged = (compute_loss and use_pallas
               and os.environ.get("NA_TPU_SPLIT_LOSS") != "1")
     _mk = partial(_make_loss_and_grad, supervised=supervised,
@@ -577,6 +671,10 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                   merged=merged)
     lag_masked = _mk(True)
     lag_full = _mk(False) if (use_pallas and full_real) else lag_masked
+    n_proc = jax.process_count()
+    # Multi-process streaming: this host assembles only its own shard of
+    # every batch (1/n_proc of the batch rows; see _stratified_plan).
+    local_shard = stratified if (stratified and n_proc > 1) else 0
     if mesh is None:
         put_batch = put_rows = jnp.asarray
     else:
@@ -584,8 +682,22 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
             mesh, P(SNP_AXIS, DATA_AXIS, None) if use_pallas
             else P(DATA_AXIS, SNP_AXIS))
         row_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        put_batch = partial(jax.device_put, device=batch_sharding)
-        put_rows = partial(jax.device_put, device=row_sharding)
+        if local_shard:
+            b_ax = 1 if use_pallas else 0  # batch sample axis
+
+            def put_batch(local):
+                g = list(local.shape)
+                g[b_ax] *= n_proc
+                return jax.make_array_from_process_local_data(
+                    batch_sharding, np.ascontiguousarray(local), tuple(g))
+
+            def put_rows(local):
+                local = np.ascontiguousarray(local)
+                return jax.make_array_from_process_local_data(
+                    row_sharding, local, (local.shape[0] * n_proc,))
+        else:
+            put_batch = partial(jax.device_put, device=batch_sharding)
+            put_rows = partial(jax.device_put, device=row_sharding)
 
     def _step(params, opt_state, xb, row_weight, col_mask, pops_b, *, lag):
         loss, grads = lag(params, xb, row_weight, col_mask, pops_b)
@@ -609,7 +721,22 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
         # values are backend-independent, so the streamed epoch samples the
         # exact batches the resident epoch would).
         s_ax = 1 if packed_host.ndim == 3 else 0
-        if blk > 1:
+        base_row = 0
+        if stratified:
+            gi_full, gi_rem = _stratified_plan(
+                key, stratified, blk, N, n_rows or N, b_round, nb, b_rem)
+            idx_full, idx_rem = np.asarray(gi_full), np.asarray(gi_rem)
+            if local_shard:
+                # This host's columns of every batch (its picks are drawn
+                # from its own rows by construction) and the row offset
+                # mapping global resident indices to its local block.
+                p = jax.process_index()
+                unit = blk * n_proc if blk > 1 else n_proc
+                F_p, R_p = b_round // unit, b_rem // unit
+                idx_full = idx_full[:, p * F_p:(p + 1) * F_p]
+                idx_rem = idx_rem[p * R_p:(p + 1) * R_p]
+                base_row = p * ((n_rows or N) // stratified)
+        elif blk > 1:
             F = b_round // blk
             nblk_res = n_rows // blk
             nblk_full = N // blk
@@ -632,7 +759,9 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 [tail, np.full((b_rem - tail.shape[0],), N, perm.dtype)])
 
         def gather(idx_b):
-            """Host mirror of the resident step's batch gather."""
+            """Host mirror of the resident step's batch gather. Indices are
+            GLOBAL resident rows/blocks; ``base_row`` maps them into this
+            host's local block when it holds only its own shard."""
             if blk > 1:
                 row_idx = (idx_b[:, None] * blk
                            + np.arange(blk, dtype=idx_b.dtype)).reshape(-1)
@@ -643,14 +772,18 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 src = [slice(None)] * packed_host.ndim
                 dst = [slice(None)] * packed_host.ndim
                 for j, b in enumerate(idx_b):
-                    src[s_ax] = slice(int(b) * blk, (int(b) + 1) * blk)
+                    lo = int(b) * blk - base_row
+                    src[s_ax] = slice(lo, lo + blk)
                     dst[s_ax] = slice(j * blk, (j + 1) * blk)
                     xb[tuple(dst)] = packed_host[tuple(src)]
                 safe = np.minimum(row_idx, N - 1)
             else:
                 row_weight = (idx_b < N).astype(np.float32)
                 safe = np.minimum(idx_b, N - 1)
-                xb = np.take(packed_host, safe, axis=s_ax)
+                lrow = (np.clip(idx_b - base_row, 0,
+                                packed_host.shape[s_ax] - 1)
+                        if local_shard else safe)
+                xb = np.take(packed_host, lrow, axis=s_ax)
             return xb, row_weight, pops_host[safe].astype(np.int32)
 
         losses = []
@@ -853,21 +986,34 @@ class NeuralAdmixtureTrainer:
         resident_fits = per_chip <= budget
         stream = cfg.stream
         if stream is None:
-            stream = (not resident_fits and per_chip_stream <= budget
-                      and n_proc == 1)
-        if stream and n_proc > 1:
-            raise NotImplementedError(
-                "--stream 1 supports single-process runs (one device or a "
-                "single-host mesh); in a multi-host run each host's shard of "
-                "the resident data already lives on its own devices -- use "
-                "more hosts instead.")
+            # Inputs to this decision are process-identical (rows_pp-padded
+            # local blocks have equal nbytes), so every host picks the same
+            # program.
+            stream = (not resident_fits and per_chip_stream <= budget)
         self._streamed = bool(stream)
+        # Host-partition-stratified sampling (_stratified_plan): REQUIRED by
+        # multi-host streaming (each host can only assemble batch rows it
+        # holds); opt-in for resident runs (NA_TPU_STRATIFIED=1) so a
+        # resident run can reproduce a streamed multi-host run exactly.
+        if n_proc > 1:
+            strat_parts = n_proc
+        elif emul and blk > 1:
+            # Emulated layout only exists with block sampling (the blk > 1
+            # branch above arranged per-process row blocks).
+            strat_parts = int(emul.split(",")[0])
+        else:
+            strat_parts = 0
+        stratified = 0
+        if strat_parts > 1 and ((stream and n_proc > 1)
+                                or os.environ.get("NA_TPU_STRATIFIED") == "1"):
+            stratified = strat_parts
         if self.master and stream:
             log.info(
                 f"    Host-streaming (out-of-core) training: packed "
-                f"genotypes ({data_host.nbytes / 2**30:.1f} GiB) stay in "
-                f"host memory; estimated per-chip HBM need drops to "
-                f"~{per_chip_stream / 2**30:.1f} GiB.")
+                f"genotypes ({data_host.nbytes / 2**30:.1f} GiB"
+                + (" per host" if n_proc > 1 else "")
+                + ") stay in host memory; estimated per-chip HBM need "
+                f"drops to ~{per_chip_stream / 2**30:.1f} GiB.")
         elif self.master and not resident_fits:
             log.warning(
                 f"    Estimated per-chip HBM need ~{per_chip / 2**30:.1f} "
@@ -925,14 +1071,15 @@ class NeuralAdmixtureTrainer:
         if self._row_order is not None:
             pops_np = pops_np[self._row_order]
         if stream:
-            # The streaming epoch slices labels on host per batch.
+            # The streaming epoch slices labels on host per batch (every
+            # host holds the full (N,) labels -- they are tiny).
             pops_arr = pops_np.astype(np.int32)
         else:
             pops_arr = jnp.asarray(pops_np, dtype=jnp.int32)
-        if n_proc > 1:
-            from ..parallel.mesh import global_put
-            pops_arr = global_put(np.asarray(pops_arr),
-                                  NamedSharding(mesh, P()))
+            if n_proc > 1:
+                from ..parallel.mesh import global_put
+                pops_arr = global_put(np.asarray(pops_arr),
+                                      NamedSharding(mesh, P()))
         # Trace-time specialization: when the host verified there are no
         # code-3 genotypes, the kernels skip the missing->0 select entirely
         # (~2 of ~6 VPU ops per genotype in the unpack).
@@ -948,11 +1095,14 @@ class NeuralAdmixtureTrainer:
                 allsum_hosts(np.asarray([int(has_missing)]))[0] > 0)
         no_missing = use_pallas and not has_missing
         self._no_missing = no_missing
+        if stratified:
+            assert resident_rows % stratified == 0, (resident_rows, stratified)
         mk = partial(make_stream_epoch_fn if stream else make_epoch_fn,
                      tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,
                      mesh=mesh, params_template=params, sample_block=blk,
-                     n_rows=resident_rows, no_missing=no_missing)
+                     n_rows=resident_rows, no_missing=no_missing,
+                     stratified=stratified)
         epoch_fn_logged = mk(compute_loss=True)
         epoch_fn_fast = mk(compute_loss=False)
         # LOG PERIODS (the logged epoch + the log_every-1 loss-free epochs
@@ -1195,6 +1345,18 @@ class NeuralAdmixtureTrainer:
             if "meta" in data:
                 saved = json.loads(bytes(data["meta"]).decode())
                 now = self._ckpt_meta()
+                # The mesh shape is NOT load-bearing: checkpoint leaves are
+                # layout-free host numpy (only the planar flag matters) and
+                # _restore reshards them into the freshly initialized
+                # shardings -- so a preempted pod job can resume on a
+                # DIFFERENT slice shape (preemption rarely returns the same
+                # topology). The training trajectory from the resume point
+                # is equivalent, not bitwise (batch-alignment padding and
+                # collective accumulation order change with the mesh; same
+                # class of drift as grouped dispatch,
+                # tests/test_checkpoint_resume.py::test_resume_across_mesh_shapes).
+                saved_mesh = saved.pop("mesh_shape", None)
+                now_mesh = now.pop("mesh_shape")
                 diffs = {k: (saved.get(k), now[k]) for k in now
                          if saved.get(k) != now[k]}
                 if diffs:
@@ -1203,6 +1365,12 @@ class NeuralAdmixtureTrainer:
                         "refusing to resume. Mismatches (checkpoint vs now): "
                         + ", ".join(f"{k}: {a} vs {b}"
                                     for k, (a, b) in sorted(diffs.items())))
+                if saved_mesh is not None and list(saved_mesh) != now_mesh:
+                    if self.master:
+                        log.info(
+                            f"    Checkpoint was trained on mesh "
+                            f"{tuple(saved_mesh)}; resharding onto "
+                            f"{tuple(now_mesh)} on resume.")
             leaves = [data[f"leaf_{i}"]
                       for i in range(len(jax.tree.leaves((params, opt_state))))]
         treedef = jax.tree.structure((params, opt_state))
@@ -1324,6 +1492,10 @@ class NeuralAdmixtureTrainer:
         (ops.fused_step.fused_infer_q) so X never materializes in f32."""
         no_missing = getattr(self, "_no_missing", False)
         if mesh is not None:
+            if isinstance(data_dev, np.ndarray) and jax.process_count() > 1:
+                # Multi-host out-of-core: data_dev is this host's LOCAL
+                # packed row block; run the pass per host and rejoin.
+                return self._infer_q_local_hosts(params, data_dev, N, planar)
             from ..parallel.sharded_step import infer_q_sharded
             qs = infer_q_sharded(mesh, params, data_dev, N, planar,
                                  INFER_BATCH, no_missing=no_missing)
@@ -1340,6 +1512,30 @@ class NeuralAdmixtureTrainer:
         qs = chunked_forward(lambda blk: fwd(params, blk), data_dev, N, B,
                              sample_axis=1 if data_dev.ndim == 3 else 0)
         return [qs[f"k{k}"] for k in self.ks]
+
+    def _infer_q_local_hosts(self, params, data_local, N: int,
+                             planar: bool) -> List[np.ndarray]:
+        """Post-training Q pass for the multi-host out-of-core path: the
+        (small) trained parameters are all-gathered to every host -- a
+        collective all processes join -- and each host runs the
+        single-device encoder pass over its OWN resident row block (the
+        genotypes never leave its RAM except one chunk at a time); the
+        per-host Q rows rejoin in process order (real resident rows are
+        globally contiguous, parallel.distributed.host_sample_shard)."""
+        from ..parallel.distributed import gather_ragged_rows, to_host
+        host_params = jax.tree.map(to_host, params)
+        s_ax = 1 if (planar and data_local.ndim == 3) else 0
+        rows_pp = data_local.shape[s_ax]
+        p = jax.process_index()
+        n_local = min(rows_pp, max(0, N - p * rows_pp))
+        if n_local > 0:
+            local_params = jax.tree.map(jnp.asarray, host_params)
+            qs_local = self._infer_q(local_params, data_local, n_local,
+                                     planar, mesh=None)
+        else:
+            qs_local = [np.zeros((0, k), np.float32) for k in self.ks]
+        return [np.asarray(gather_ragged_rows(np.asarray(q)))
+                for q in qs_local]
 
     def display_divergences(self, params, M: int) -> None:
         if not self.master:

@@ -103,13 +103,6 @@ def main_train(args, t0: float) -> int:
         n_proc = jax.process_count()
         log.info(f"    Backend '{jax.default_backend()}' with "
                  f"{len(jax.devices())} device(s).")
-        if stream_cli and n_proc > 1:
-            # Fail before hours of RSVD/init work, not inside the trainer.
-            raise NotImplementedError(
-                "--stream 1 supports single-process runs (one device or a "
-                "single-host mesh); in a multi-host run each host's shard "
-                "of the resident data already lives on its own devices -- "
-                "use more hosts instead.")
         data, host_rows = None, None
         if n_proc > 1:
             assert row_sliceable, (

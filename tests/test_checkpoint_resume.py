@@ -72,6 +72,32 @@ def test_resume_rejects_changed_hyperparameters(tmp_path):
             NeuralAdmixtureTrainer(cfg2).launch_training(p2, packed, V, M, N)
 
 
+def test_resume_across_mesh_shapes(tmp_path):
+    """A checkpoint trained on one mesh must resume on a different mesh
+    (pod preemption rarely returns the same slice shape): leaves are
+    layout-free host numpy and reshard on load. Equivalent-but-not-bitwise
+    to the uninterrupted run -- the (2, 2) legs accumulate gradients
+    through psums (tolerance class of tests/test_sharded_step.py)."""
+    G, V, P_init, packed = _data()
+    N, M = G.shape
+
+    (tmp_path / "a").mkdir()
+    tr = NeuralAdmixtureTrainer(_cfg(tmp_path / "a", 6, mesh_shape=(1, 1)))
+    Qs_full, Ps_full, _ = tr.launch_training(P_init.copy(), packed, V, M, N)
+
+    # 3 epochs on a single device, then resume epochs 3-6 on a (2, 2) mesh.
+    (tmp_path / "b").mkdir()
+    cfg1 = _cfg(tmp_path / "b", 3, checkpoint_every=3, mesh_shape=(1, 1))
+    NeuralAdmixtureTrainer(cfg1).launch_training(P_init.copy(), packed, V, M, N)
+    cfg2 = _cfg(tmp_path / "b", 6, checkpoint_every=3, resume=True,
+                mesh_shape=(2, 2))
+    Qs_res, Ps_res, _ = NeuralAdmixtureTrainer(cfg2).launch_training(
+        P_init.copy(), packed, V, M, N)
+
+    np.testing.assert_allclose(Qs_res[0], Qs_full[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(Ps_res[0], Ps_full[0], rtol=1e-4, atol=1e-5)
+
+
 def test_resume_rejects_different_layout(tmp_path):
     import pytest
     G, V, P_init, packed = _data()

@@ -68,13 +68,14 @@ def _env(extra, devices=1):
     return env
 
 
-def _spawn_pair(cmd_builder, devices=1):
+def _spawn_pair(cmd_builder, devices=1, extra=None):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [subprocess.Popen(
         cmd_builder(), env=_env({
             "NA_TPU_COORDINATOR": coord,
             "NA_TPU_NUM_PROCESSES": "2",
             "NA_TPU_PROCESS_ID": str(pid),
+            **(extra or {}),
         }, devices=devices),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for pid in (1, 0)]
@@ -132,6 +133,49 @@ def _write_synthetic_bed(path, N=120, M=256, seed=11):
     with open(stem + ".bim", "w") as f:
         f.writelines(f"1 snp{j} 0 {j} A C\n" for j in range(M))
     return G
+
+
+def test_two_process_streamed_out_of_core(tmp_path):
+    """Multi-HOST out-of-core training: 2 procs x 2 devices on a (2, 2)
+    mesh with a fake HBM capacity that the RESIDENT estimate exceeds but
+    the streaming one fits, so the auto policy engages host-streaming.
+    Each host keeps only its packed row block in RAM, assembles its shard
+    of every batch (host-partition-stratified sampling,
+    engine._stratified_plan), and the shards join the global P(data, snp)
+    batch via jax.make_array_from_process_local_data. Must reproduce a
+    resident 2-process run under the same stratified policy
+    (NA_TPU_STRATIFIED=1) at the standard multi-host tolerance."""
+    bed = tmp_path / "syn.bed"
+    _write_synthetic_bed(bed)
+    resident, streamed = tmp_path / "resident", tmp_path / "streamed"
+
+    # Mirror of launch_training's per-chip estimates at this workload
+    # (N=120, M=256 -> m_pad=2048, rows_pp=64, b_round=64, XLA path,
+    # (2, 2) mesh): capacity between the streaming and resident needs.
+    m_pad, rows_pp, b_round, n_chips, n_snp = 2048, 64, 64, 4, 2
+    data_bytes = 2 * rows_pp * (m_pad // 4)
+    batch_bytes = b_round * (m_pad // 4) + b_round * m_pad * 4
+    plane = m_pad * (8 + K) * 12
+    per_chip_stream = batch_bytes / n_chips + plane / n_snp
+    per_chip_resident = per_chip_stream + data_bytes / n_chips
+    cap = (per_chip_stream + per_chip_resident) / 2 / 0.9 / 2**30
+    outs = _spawn_pair(
+        lambda: _cli(streamed, "st", data=bed, sample_block=16, mesh="2x2"),
+        devices=2, extra={"NA_TPU_HBM_CAPACITY_GB": repr(cap)})
+    assert (streamed / "st.2.Q").exists()
+    assert "Host-streaming (out-of-core) training" in outs[1], outs[1][-3000:]
+
+    outs_r = _spawn_pair(
+        lambda: _cli(resident, "re", data=bed, sample_block=16, mesh="2x2"),
+        devices=2, extra={"NA_TPU_STRATIFIED": "1"})
+    assert "Host-streaming" not in outs_r[1]
+
+    Q1 = np.loadtxt(resident / f"re.{K}.Q")
+    Q2 = np.loadtxt(streamed / f"st.{K}.Q")
+    P1 = np.loadtxt(resident / f"re.{K}.P")
+    P2 = np.loadtxt(streamed / f"st.{K}.P")
+    np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)
 
 
 def test_two_process_block_sampling_snp_mesh(tmp_path):

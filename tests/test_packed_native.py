@@ -52,6 +52,53 @@ def test_read_bed_packed_applies_flip(tmp_path):
     np.testing.assert_array_equal(unpack_2bit_rows(packed, m_pad)[:, M:], 0)
 
 
+def test_read_bed_packed_block_streamed_exact(tmp_path):
+    """SNP-block streaming (any block size, incl. non-aligned tails) must be
+    bit-identical to a single-block ingest."""
+    rng = np.random.default_rng(2)
+    G = rng.integers(0, 4, size=(21, 1033), dtype=np.uint8)
+    G[0, 0] = 0
+    path = _write_bed(tmp_path, G)
+    ref, N, M = bed.read_bed_packed(path, block_m=1 << 30)
+    for blk in (4, 20, 1000):
+        got, n2, m2 = bed.read_bed_packed(path, block_m=blk)
+        assert (n2, m2) == (N, M)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_read_bed_packed_memory_is_block_bounded(tmp_path):
+    """Single-process BED ingest must NOT hold the whole .bed byte matrix
+    (or a dense decode) in RAM: peak allocations during read_bed_packed
+    stay within the packed output plus O(block) temporaries (VERDICT r3
+    item 6). Shape chosen so the old whole-file np.fromfile (+ full dense
+    fallback decode) would blow the bound by several x."""
+    import tracemalloc
+
+    rng = np.random.default_rng(3)
+    N, M = 64, 65536  # .bed bytes = 1 MiB; dense would be 4 MiB
+    G = rng.integers(0, 3, size=(N, M), dtype=np.uint8)
+    path = _write_bed(tmp_path, G)
+    packed_bytes = N * (((M + 2047) // 2048) * 2048 // 4)
+    block_m = 2048
+    block_bytes = N * block_m + block_m * ((N + 3) // 4) + N * block_m // 4
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    base, _ = tracemalloc.get_traced_memory()
+    packed, _, _ = bed.read_bed_packed(path, block_m=block_m)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # Allowance: packed output + a few in-flight block temporaries + the
+    # bounded histogram buffers of bed_code_counts (~1 MiB here). The old
+    # whole-file ingest (full .bed bytes + a full dense decode in the NumPy
+    # fallback) needs >= 6 MiB at this shape and must fail this bound.
+    bound = packed_bytes + 4 * block_bytes + (1 << 21)
+    assert peak - base < bound, (
+        f"peak {peak - base} vs bound {bound} "
+        f"(packed {packed_bytes}, block {block_bytes})")
+    np.testing.assert_array_equal(
+        unpack_2bit_rows(packed, M), SNPReader().read_data(path))
+
+
 def test_loglikelihood_packed_matches_dense():
     rng = np.random.default_rng(1)
     N, M, K = 30, 77, 4

@@ -94,7 +94,7 @@ def test_stream_epoch_matches_resident(use_pallas, blk):
 
 
 def _train(stream, tmp_path, monkeypatch, use_pallas=False, blk=8,
-           epochs=4, resume_break=None, cap_env=None):
+           epochs=4, resume_break=None, cap_env=None, batch=B):
     """Full launch_training run; returns (Qs, Ps, trainer)."""
     if cap_env is not None:
         monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", cap_env)
@@ -103,7 +103,7 @@ def _train(stream, tmp_path, monkeypatch, use_pallas=False, blk=8,
     packed, m_pad = pack_with_padding(geno)
     V = (rng.normal(size=(8, M)) * 0.1).astype(np.float32)
     P0 = rng.uniform(0.2, 0.8, size=(K, M)).astype(np.float32)
-    cfg = TrainConfig(epochs=epochs, batch_size=B, learning_rate=1e-3,
+    cfg = TrainConfig(epochs=epochs, batch_size=batch, learning_rate=1e-3,
                       seed=11, hidden_size=32, ks=[K], progress=False,
                       use_pallas=use_pallas, mesh_shape=(1, 1),
                       sample_block=blk, stream=stream)
@@ -247,6 +247,81 @@ def test_stream_trainer_mesh(use_pallas, mesh, tmp_path, monkeypatch):
 
     Q1, P1, t1 = run(False)
     Q2, P2, t2 = run(True)
+    assert not t1._streamed and t2._streamed
+    np.testing.assert_allclose(Q2[0], Q1[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(P2[0], P1[0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_stratified_stream_matches_resident_epoch(use_pallas):
+    """Host-partition-stratified sampling (the multi-host out-of-core
+    policy, engine._stratified_plan): the streamed epoch and the resident
+    epoch built with the same ``stratified=ep`` must sample identical
+    per-partition batches and produce the same trained state."""
+    blk, ep, B_s = 8, 2, 32
+    tx, params, data_host, col_mask, n_rows = _setup(use_pallas, blk)
+    assert n_rows % (blk * ep) == 0
+    pops_host = np.zeros((N,), np.int32)
+    kw = dict(use_pallas=use_pallas, params_template=params,
+              sample_block=blk, n_rows=n_rows, stratified=ep)
+    resident = make_epoch_fn(tx, N, B_s, False, 0.0, **kw, compute_loss=True)
+    streamed = make_stream_epoch_fn(tx, N, B_s, False, 0.0, **kw,
+                                    compute_loss=True)
+    keys = jax.random.split(jax.random.PRNGKey(17), E)
+    data_dev = jnp.asarray(data_host)
+    pops_dev = jnp.asarray(pops_host)
+    p1, o1 = jax.tree.map(jnp.copy, params), tx.init(params)
+    p2, o2 = jax.tree.map(jnp.copy, params), tx.init(params)
+    for i in range(E):
+        p1, o1, l1 = resident(p1, o1, data_dev, col_mask, pops_dev, keys[i])
+        p2, o2, l2 = streamed(p2, o2, data_host, col_mask, pops_host, keys[i])
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for k1, k2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        if not use_pallas:
+            np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
+        else:
+            np.testing.assert_allclose(np.asarray(k2), np.asarray(k1),
+                                       rtol=1e-6, atol=1e-7)
+
+
+def test_stratified_covers_every_row_once():
+    """Every real resident row appears exactly once per stratified epoch
+    (full batches + remainder), and partition p's picks occupy exactly its
+    own batch columns [p*F_p, (p+1)*F_p) -- the property that lets a
+    streamed host assemble its shard from local rows only."""
+    from neural_admixture_tpu.train.engine import (_batch_plan,
+                                                   _stratified_plan)
+    blk, ep, B_s = 8, 2, 32
+    n_rows = block_geometry(N, B_s, False, None, blk)[3]
+    b_round, nb, b_rem, _ = _batch_plan(N, B_s, False, None, blk, None,
+                                        n_rows)
+    idx_full, idx_rem = _stratified_plan(jax.random.PRNGKey(3), ep, blk, N,
+                                         n_rows, b_round, nb, b_rem)
+    units = np.concatenate([np.asarray(idx_full).ravel(),
+                            np.asarray(idx_rem)])
+    # Whole blocks, each exactly once, covering the padded resident rows.
+    assert sorted(units.tolist()) == list(range(n_rows // blk))
+    upp = n_rows // (ep * blk)
+    F_p = b_round // (blk * ep)
+    for b in range(nb - 1):
+        for p in range(ep):
+            col = np.asarray(idx_full)[b, p * F_p:(p + 1) * F_p]
+            assert np.all((col >= p * upp) & (col < (p + 1) * upp))
+
+
+def test_stratified_trainer_emulated(tmp_path, monkeypatch):
+    """Trainer-level A/B under the emulated 2-partition resident layout
+    (NA_TPU_EMULATE_PROC_SHARDS) with NA_TPU_STRATIFIED=1: the streamed
+    run must reproduce the resident run."""
+    monkeypatch.setenv("NA_TPU_EMULATE_PROC_SHARDS", "2,1")
+    monkeypatch.setenv("NA_TPU_STRATIFIED", "1")
+    # batch=32: the stratified plan needs ep*blk | b_round; real multi-host
+    # runs get this from host_sample_shard's ep | d_sz alignment, while the
+    # emulated layout runs on a 1-device mesh.
+    Q1, P1, t1 = _train(False, tmp_path, monkeypatch, blk=8, epochs=3,
+                        batch=32)
+    Q2, P2, t2 = _train(True, tmp_path, monkeypatch, blk=8, epochs=3,
+                        batch=32)
     assert not t1._streamed and t2._streamed
     np.testing.assert_allclose(Q2[0], Q1[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(P2[0], P1[0], rtol=1e-5, atol=1e-6)
