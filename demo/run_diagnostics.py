@@ -34,7 +34,12 @@ def main(out_dir, expected_dir, data_path=None):
     print(f"Matched Q column correlations: {np.round(q_corr, 3)}")
     print(f"Matched P column correlations: {np.round(p_corr, 3)}")
 
-    ok = np.mean(q_corr) > 0.75 and np.mean(p_corr) > 0.75
+    # Gates pinned to measured headroom (2026-08-20, 5-epoch seed-42 run,
+    # identical on CPU and the real TPU): Q matched corrs mean .8222 with
+    # six of seven >= .911 (one minor component splits differently across
+    # implementations); P matched corrs mean .9735, min .894.
+    ok = (np.mean(q_corr) > 0.78 and np.sort(q_corr)[1] > 0.85
+          and np.mean(p_corr) > 0.93 and np.min(p_corr) > 0.80)
 
     if data_path:
         import os

@@ -59,13 +59,19 @@ def test_demo_structure_matches_expected(demo_run):
     Q_ref = np.genfromtxt(DEMO_Q_EXPECTED)
     P_ref = np.genfromtxt(DEMO_P_EXPECTED)
 
+    # Gates pinned to measured headroom (2026-08-20, CPU XLA path; the
+    # real-TPU run reproduces the same values): matched Q correlations
+    # [.957 .988 .938 .989 .940 .033 .911] mean .8222 -- six of the seven
+    # components >= 0.911; the seventh is a minor component the two
+    # implementations split differently at 5 epochs. Matched P
+    # correlations [.999 .987 1.0 1.0 .894 1.0 .936] mean .9735.
     perm, matched_corr = best_permutation(Q, Q_ref)
-    # The dominant ancestry components must be mutually identifiable.
-    assert np.mean(matched_corr) > 0.75, matched_corr
+    assert np.mean(matched_corr) > 0.78, matched_corr
+    assert np.sort(matched_corr)[1] > 0.85, matched_corr  # 6 of 7 strong
 
-    # P columns under the same permutation correlate too.
     p_corr = [np.corrcoef(P[:, perm[j]], P_ref[:, j])[0, 1] for j in range(7)]
-    assert np.mean(p_corr) > 0.75, p_corr
+    assert np.mean(p_corr) > 0.93, p_corr
+    assert np.min(p_corr) > 0.80, p_corr
 
 
 def test_demo_loglikelihood_comparable(demo_run):
@@ -74,6 +80,7 @@ def test_demo_loglikelihood_comparable(demo_run):
     P_ref = np.genfromtxt(DEMO_P_EXPECTED)
     ll_ours = loglikelihood(data, P.astype(np.float64), Q.astype(np.float64), 7)
     ll_ref = loglikelihood(data, P_ref, Q_ref, 7)
-    # Our 5-epoch fit must be at least as good as (or within 2% of) the
-    # reference's 5-epoch golden outputs (log-likelihoods are negative).
-    assert ll_ours > ll_ref - 0.02 * abs(ll_ref), (ll_ours, ll_ref)
+    # Our 5-epoch fit must BEAT the reference's 5-epoch golden outputs
+    # outright (measured: -322,269 vs -326,814, i.e. 4.5k of headroom; the
+    # pre-round-4 gate allowed a 2% shortfall, ~6.5k BELOW the golden).
+    assert ll_ours > ll_ref, (ll_ours, ll_ref)
