@@ -50,7 +50,7 @@ def make_synthetic_packed(n, m, k, seed=0):
     return packed, m_pad
 
 
-def bench_jax():
+def bench_jax(KS=KS):
     import jax
     import optax
 
@@ -244,12 +244,30 @@ def main():
     vs = (sps / base) if base else None
     k_tag = (f"K{KS[0]}" if len(KS) == 1
              else f"K{KS[0]}-{KS[-1]}x{len(KS)}heads")
-    print(json.dumps({
+    out = {
         "metric": f"train_samples_per_sec_{M//1000}kSNP_{k_tag}",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    # Second headline: the multi-head K sweep (--min_k/--max_k), the real
+    # ADMIXTURE workflow (reference entry.py:33-34 defaults K=2..10 when no
+    # single K is given). All heads share each pass's packed reads and
+    # in-kernel unpack, so the sweep amortizes: BASELINE.md tracks
+    # samples/s-per-head. Skipped when NA_BENCH_KS pins an explicit K list
+    # or NA_BENCH_MULTIHEAD=0 (smoke runs).
+    if "NA_BENCH_KS" not in os.environ \
+            and os.environ.get("NA_BENCH_MULTIHEAD", "1") == "1":
+        ks_sweep = list(range(2, 11))
+        sps_mh = bench_jax(KS=ks_sweep)
+        out["multi_head"] = {
+            "ks": f"{ks_sweep[0]}-{ks_sweep[-1]}",
+            "heads": len(ks_sweep),
+            "samples_per_sec": round(sps_mh, 2),
+            "head_samples_per_sec": round(sps_mh * len(ks_sweep), 2),
+            "cost_vs_single_head": round(sps / sps_mh, 2),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

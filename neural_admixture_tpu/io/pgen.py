@@ -9,8 +9,10 @@ design:
     instead of materializing the full (M, 2N) allele-code matrix the
     reference allocates;
   * without pgenlib, fixed-width storage modes are decoded by a pure-Python
-    reader (modes 0x01 and 0x02 below); compressed modes (0x10+) still
-    require pgenlib and raise a clear error;
+    reader (modes 0x01 and 0x02 below), and the compressed "standard" mode
+    0x10 -- what plink2 writes by default (difflist/LD/onebit records) --
+    by io.pgen_standard (see its verification-status note); other modes
+    raise a clear install-pgenlib error;
   * ``read_pgen_packed`` streams variant blocks straight into the
     sample-major 2-bit packed device layout, giving PGEN the same
     biobank-scale path BED has (io.bed.read_bed_packed) -- the (N, M) uint8
@@ -124,11 +126,18 @@ class _PgenlibPgen:
 
 def open_pgen(path: str):
     """Best available PGEN block reader: pgenlib if importable, else the
-    pure-Python fixed-width decoder."""
+    pure-Python decoders (fixed-width modes 0x01/0x02, or the standard
+    compressed mode 0x10 via io.pgen_standard -- see its verification-status
+    note)."""
     try:
         import pgenlib  # noqa: F401
         return _PgenlibPgen(path)
     except ImportError:
+        with open(path, "rb") as fh:
+            mode = fh.read(3)[2:]
+        if mode and mode[0] == 0x10:
+            from .pgen_standard import StandardPgen
+            return StandardPgen(path)
         return _FixedWidthPgen(path)
 
 

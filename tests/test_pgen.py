@@ -56,7 +56,7 @@ def test_mode1_bed_body(tmp_path):
 def test_unsupported_mode_raises(tmp_path):
     path = tmp_path / "toy.pgen"
     with open(path, "wb") as fh:
-        fh.write(b"\x6c\x1b\x10" + b"\x00" * 64)
+        fh.write(b"\x6c\x1b\x20" + b"\x00" * 64)
     with pytest.raises(NotImplementedError, match="pgenlib"):
         read_pgen(str(path))
 
@@ -148,6 +148,154 @@ def test_train_cli_on_pgen(tmp_path):
     P = np.genfromtxt(f"{out}/pg.3.P")
     assert Q.shape == (40, 3) and P.shape == (120, 3)
     np.testing.assert_allclose(Q.sum(axis=1), 1.0, atol=1e-4)
+
+
+# ----------------- standard (compressed) mode 0x10 --------------------------
+
+
+def _geno_mode16(N=53, M=300, seed=5):
+    """Genotypes engineered so the cheapest-representation writer picks
+    every supported record type: dense-random (plain 0), mostly-hom-ref
+    (sparse 5), two-common-values (onebit 4), near-copies of the previous
+    variant (LD 1) and near-inverted copies (LD-inverted 2)."""
+    rng = np.random.default_rng(seed)
+    G = np.zeros((N, M), np.uint8)
+    for v in range(M):
+        kind = v % 5
+        if kind == 0:
+            G[:, v] = rng.integers(0, 4, N)
+        elif kind == 1:  # sparse: a few non-ref
+            idx = rng.choice(N, size=3, replace=False)
+            G[idx, v] = rng.integers(1, 4, 3)
+        elif kind == 2:  # onebit: two common values + rare exceptions
+            G[:, v] = rng.choice([0, 2], N)
+            G[rng.choice(N, 2, replace=False), v] = rng.integers(1, 4, 2)
+        elif kind == 3:  # LD: copy previous with a few diffs
+            G[:, v] = G[:, v - 1]
+            idx = rng.choice(N, size=2, replace=False)
+            G[idx, v] = rng.integers(0, 4, 2)
+        else:  # inverted LD
+            inv = np.array([2, 1, 0, 3], np.uint8)
+            G[:, v] = inv[G[:, v - 1]]
+            G[rng.choice(N, 2, replace=False), v] = rng.integers(0, 4, 2)
+    G[0, 0] = 0
+    G[1, 1] = 2
+    return G
+
+
+@pytest.mark.parametrize("idx_enc", [0, 4, 5])
+def test_standard_mode_roundtrip(tmp_path, idx_enc):
+    """Writer/reader pair must be bit-exact across every record type and
+    index encoding (4-bit and 8-bit vrtypes, 1- and 2-byte lengths)."""
+    from neural_admixture_tpu.io.pgen_standard import write_pgen_standard
+    G = _geno_mode16()
+    path = str(tmp_path / "std.pgen")
+    vrtypes = write_pgen_standard(path, G, idx_enc=idx_enc)
+    # the workload must actually exercise compressed representations
+    assert {0, 4, 5} <= set(vrtypes), sorted(set(vrtypes))
+    assert {1, 2} & set(vrtypes), sorted(set(vrtypes))
+    np.testing.assert_array_equal(read_pgen(path), G)
+
+
+def test_standard_mode_multiblock(tmp_path, monkeypatch):
+    """> 1 variant block: per-block index offsets + LD-chain reset."""
+    from neural_admixture_tpu.io import pgen_standard
+    monkeypatch.setattr(pgen_standard, "VBLOCK", 64)
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno_mode16(N=29, M=200, seed=7)
+    path = str(tmp_path / "mb.pgen")
+    write_pgen_standard(path, G)
+    r = StandardPgen(path)
+    assert (r.N, r.M) == G.shape
+    np.testing.assert_array_equal(r.read_block(0, r.M).T, G)
+
+
+def test_standard_mode_random_access(tmp_path):
+    """read_block from mid-file must rewind through LD chains to the
+    nearest non-LD base and still decode exactly."""
+    from neural_admixture_tpu.io.pgen_standard import StandardPgen
+    from neural_admixture_tpu.io.pgen_standard import write_pgen_standard
+    G = _geno_mode16(N=41, M=250, seed=9)
+    path = str(tmp_path / "ra.pgen")
+    vrtypes = write_pgen_standard(path, G)
+    r = StandardPgen(path)
+    # pick a start that lands ON an LD-compressed variant
+    ld = [v for v in range(100, 200) if (vrtypes[v] & 7) in (1, 2)]
+    v0 = ld[0]
+    np.testing.assert_array_equal(r.read_block(v0, v0 + 40).T,
+                                  G[:, v0:v0 + 40])
+    # and backwards (forces a second rewind)
+    np.testing.assert_array_equal(r.read_block(10, 30).T, G[:, 10:30])
+
+
+def test_standard_mode_packed_and_rows(tmp_path, monkeypatch):
+    """The biobank packed path and the multi-host row-block path work on
+    mode-0x10 inputs like on fixed-width ones."""
+    from neural_admixture_tpu.io.pgen import read_pgen_packed_rows
+    from neural_admixture_tpu.io.pgen_standard import write_pgen_standard
+    monkeypatch.setattr(pgen_mod, "_BLOCK_VARIANTS", 64)
+    G = _geno_mode16(N=23, M=170, seed=11)
+    path = str(tmp_path / "pk.pgen")
+    write_pgen_standard(path, G)
+
+    packed, N, M = read_pgen_packed(path)
+    assert (N, M) == G.shape
+    Gn = G.copy()
+    if Gn.mean() >= 1:
+        miss = Gn == 3
+        Gn = (2 - Gn.astype(np.int16)).astype(np.uint8)
+        Gn[miss] = 3
+    expected, _ = pack_with_padding(Gn)
+    np.testing.assert_array_equal(packed, expected)
+
+    rows, counts = read_pgen_packed_rows(path, 5, 17)
+    exp_rows, _ = pack_with_padding(G[5:17])
+    np.testing.assert_array_equal(rows, exp_rows)
+    np.testing.assert_array_equal(
+        counts, np.bincount(G[5:17].ravel(), minlength=4))
+
+
+def test_standard_mode_rejects_unknown_format(tmp_path):
+    from neural_admixture_tpu.io.pgen_standard import StandardPgen
+    path = tmp_path / "bad.pgen"
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x10")
+        fh.write(np.asarray([1], "<u4").tobytes())
+        fh.write(np.asarray([4], "<u4").tobytes())
+        fh.write(bytes([0x88]))  # unknown high bit set
+    with pytest.raises(NotImplementedError, match="pgenlib"):
+        StandardPgen(str(path))
+
+
+def test_standard_mode_matches_pgenlib(tmp_path):
+    """Cross-validation against pgenlib itself: our mode-0x10 fixtures must
+    decode identically through pgenlib, and a pgenlib-written file must
+    decode identically through our reader. Runs only where the real
+    pgenlib is installed (not this build environment -- see the
+    verification-status note in io/pgen_standard.py)."""
+    pgenlib = pytest.importorskip("pgenlib")
+    if not hasattr(pgenlib, "PgenReader") or isinstance(
+            pgenlib, types.ModuleType) and not getattr(
+            pgenlib, "__file__", None):
+        pytest.skip("fake pgenlib module")
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno_mode16(N=31, M=120, seed=3)
+    ours = str(tmp_path / "ours.pgen")
+    write_pgen_standard(ours, G)
+    reader = pgen_mod._PgenlibPgen(ours)
+    np.testing.assert_array_equal(reader.read_block(0, G.shape[1]).T, G)
+
+    theirs = str(tmp_path / "theirs.pgen")
+    with pgenlib.PgenWriter(theirs.encode(), G.shape[0],
+                            variant_ct=G.shape[1], nonref_flags=False) as w:
+        buf = G.T.astype(np.int8)
+        buf[G.T == 3] = -9
+        for v in range(G.shape[1]):
+            w.append_biallelic(np.ascontiguousarray(buf[v]))
+    np.testing.assert_array_equal(
+        StandardPgen(theirs).read_block(0, G.shape[1]).T, G)
 
 
 def test_read_pgen_packed_rows_slices(tmp_path, monkeypatch):

@@ -106,8 +106,17 @@ def unpack_u16(u, out_dtype=jnp.float32, scale=True):
 # --------------------------- dq_dp variants --------------------------------
 
 
-def mk_dq_dp(x_dtype, chain_dtype, dot_dtype, unpack=unpack_u32):
-    """Replica of ops.fused_step._dq_dp_kernel (unmasked, 1 head, g=1)."""
+def mk_dq_dp(x_dtype, chain_dtype, dot_dtype, unpack=unpack_u32,
+             cmp_f32=False):
+    """Replica of ops.fused_step._dq_dp_kernel (unmasked, 1 head, g=1).
+
+    ``cmp_f32``: compute the boundary mask from the f32 ``raw`` instead of
+    comparing chain-dtype values -- the round-4 isolation (tools logs,
+    PARITY.md) pinned the Mosaic remote-compile HTTP 500 to COMPARISONS on
+    bf16 vectors specifically (bf16 arithmetic, clip, min/max, and selects
+    under an f32-derived mask all compile); this flag routes around the
+    compiler crash so the full-bf16 chain finally gets a measured number.
+    """
     def kernel(q_ref, p_ref, u_ref, dq_ref, dp_ref):
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -126,7 +135,11 @@ def mk_dq_dp(x_dtype, chain_dtype, dot_dtype, unpack=unpack_u32):
             drec = (rec - xc) * pl.reciprocal(denom, approx=True)
         else:
             drec = (rec - xc) / denom
-        draw = jnp.where(rawc == rec, drec, chain_dtype(0.0))
+        if cmp_f32:
+            inside = raw == jnp.clip(raw, 0.0, 1.0)
+            draw = jnp.where(inside, drec, chain_dtype(0.0))
+        else:
+            draw = jnp.where(rawc == rec, drec, chain_dtype(0.0))
         drawd = draw.astype(dot_dtype)
         dqt_blk = jax.lax.dot_general(
             pd, drawd, (((1,), (1,)), ((), ())),
@@ -189,6 +202,9 @@ variants = [
     ("dots f32, chain bf16", mk_dq_dp(f32, bf16, f32)),
     ("all bf16 (x f32 unpack)", mk_dq_dp(f32, bf16, bf16)),
     ("all bf16 (x bf16 unpack)", mk_dq_dp(bf16, bf16, bf16)),
+    ("chain bf16, f32 cmp", mk_dq_dp(f32, bf16, f32, cmp_f32=True)),
+    ("all bf16, f32 cmp (x f32)", mk_dq_dp(f32, bf16, bf16, cmp_f32=True)),
+    ("all bf16, f32 cmp (x bf16)", mk_dq_dp(bf16, bf16, bf16, cmp_f32=True)),
     ("u16 unpack, f32 math", mk_dq_dp(f32, f32, f32, unpack_u16)),
     ("u16 unpack, all bf16", mk_dq_dp(bf16, bf16, bf16, unpack_u16)),
 ]
