@@ -37,9 +37,17 @@ EPOCHS_MEASURE = int(os.environ.get("NA_BENCH_EPOCHS", 5))
 TORCH_STEPS = int(os.environ.get("NA_BENCH_TORCH_STEPS", 3))
 
 
+_PACKED_CACHE = {}
+
+
 def make_synthetic_packed(n, m, k, seed=0):
     """Random genotypes -- content does not affect throughput, so plain
-    uniform {0,1,2} keeps generation fast at biobank scale."""
+    uniform {0,1,2} keeps generation fast at biobank scale. Memoized: the
+    single-head and multi-head measurements share the identical matrix
+    (minutes of host generation at 1M SNPs otherwise repeat)."""
+    key = (n, m, seed)
+    if key in _PACKED_CACHE:
+        return _PACKED_CACHE[key]
     rng = np.random.default_rng(seed)
     from neural_admixture_tpu.io.packed import pack_2bit_rows, packed_width
     m_pad = ((m + 2047) // 2048) * 2048
@@ -47,6 +55,7 @@ def make_synthetic_packed(n, m, k, seed=0):
     for i in range(0, n, 1024):
         G = rng.integers(0, 3, size=(min(1024, n - i), m), dtype=np.uint8)
         packed[i:i + 1024] = pack_2bit_rows(G, m_pad=m_pad)
+    _PACKED_CACHE[key] = (packed, m_pad)
     return packed, m_pad
 
 
@@ -139,8 +148,9 @@ def bench_jax(KS=KS):
             tx, N, B, supervised=False, supervised_loss_weight=0.0,
             use_pallas=use_pallas, params_template=params,
             sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
-        epoch_fns = [mk(compute_loss=not lossfree)] + [
-            mk(compute_loss=False)] * (EPOCHS_MEASURE - 1)
+        fast = mk(compute_loss=False)
+        epoch_fns = [fast if lossfree else mk(compute_loss=True)] \
+            + [fast] * (EPOCHS_MEASURE - 1)
     elif group:
         epoch_fn = make_epoch_fn(
             tx, N, B, supervised=False, supervised_loss_weight=0.0,
@@ -153,8 +163,9 @@ def bench_jax(KS=KS):
             tx, N, B, supervised=False, supervised_loss_weight=0.0,
             use_pallas=use_pallas, params_template=params,
             sample_block=blk, n_rows=n_rows, no_missing=no_missing, **kw)
-        epoch_fns = [mk(compute_loss=not lossfree)] + [
-            mk(compute_loss=False)] * (EPOCHS_MEASURE - 1)
+        fast = mk(compute_loss=False)
+        epoch_fns = [fast if lossfree else mk(compute_loss=True)] \
+            + [fast] * (EPOCHS_MEASURE - 1)
     key = jax.random.PRNGKey(42)
 
     def run_epochs(params, opt_state, key):

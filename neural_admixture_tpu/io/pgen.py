@@ -136,7 +136,15 @@ def open_pgen(path: str):
         with open(path, "rb") as fh:
             mode = fh.read(3)[2:]
         if mode and mode[0] == 0x10:
+            from ..utils.logger import log, setup_logging
             from .pgen_standard import StandardPgen
+            setup_logging()
+            log.warning(
+                "    pgenlib is not installed; decoding this mode-0x10 PGEN "
+                "with the built-in reader (implemented from the public spec "
+                "draft; cross-validated against pgenlib only where it is "
+                "installed -- prefer `pip install pgenlib` for production, "
+                "see io/pgen_standard.py).")
             return StandardPgen(path)
         return _FixedWidthPgen(path)
 

@@ -60,9 +60,6 @@ import numpy as np
 MAGIC = b"\x6c\x1b"
 VBLOCK = 1 << 16  # variants per block
 
-# 2-bit fields per byte, low bits first (same convention as io.packed).
-_FIELDS = np.arange(4, dtype=np.uint8) * 2
-
 
 def _sample_id_bytes(n: int) -> int:
     """Bytes per stored sample id: smallest width holding n - 1."""
@@ -99,17 +96,15 @@ def _read_vints(buf: np.ndarray, pos: int, count: int
 
 
 def _unpack2(raw: np.ndarray, n: int) -> np.ndarray:
-    """ceil(n/4) packed bytes -> (n,) 2-bit values."""
-    return ((raw[:, None] >> _FIELDS) & 3).reshape(-1)[:n].astype(np.uint8)
+    """ceil(n/4) packed bytes -> (n,) 2-bit values (io.packed layout)."""
+    from .packed import unpack_2bit_rows
+    return unpack_2bit_rows(raw.reshape(1, -1), n)[0]
 
 
 def _pack2(vals: np.ndarray) -> np.ndarray:
-    n4 = -(-vals.size // 4) * 4
-    v = np.zeros(n4, np.uint8)
-    v[:vals.size] = vals
-    v = v.reshape(-1, 4)
-    return (v[:, 0] | (v[:, 1] << 2) | (v[:, 2] << 4)
-            | (v[:, 3] << 6)).astype(np.uint8)
+    """(n,) 2-bit values -> ceil(n/4) packed bytes (io.packed layout)."""
+    from .packed import pack_2bit_rows
+    return pack_2bit_rows(vals.reshape(1, -1))[0]
 
 
 def _parse_difflist(rec: np.ndarray, pos: int, n: int

@@ -254,10 +254,13 @@ def _stratified_plan(key, ep: int, blk: int, N: int, n_rows: int,
     samples its OWN local rows to fill its OWN shard of every batch -- the
     semantics of the reference's DistributedSampler, which also confines
     each rank to a fixed partition
-    (/root/reference/neural_admixture/src/loaders.py:30-35). Partitions are
-    themselves random sample subsets (per-process pre-shuffle,
-    shard_row_order / the host row blocks), so every batch remains a random
-    population mixture.
+    (/root/reference/neural_admixture/src/loaders.py:30-35). Partitions
+    are contiguous INPUT row blocks (a data-locality necessity: each host
+    read only its block from disk), locally pre-shuffled when blk > 1
+    (shard_row_order) -- so on a population-sorted file a partition can be
+    a population stratum. Mixing comes from the batch composition instead:
+    every batch draws from ALL partitions (F_p units from each), so each
+    optimizer step still sees a cross-population sample.
 
     Returns GLOBAL resident indices ``(idx_full (nb-1, F), idx_rem (R,))``
     with batch columns [p*F_p, (p+1)*F_p) holding partition p's picks --

@@ -309,6 +309,40 @@ def test_stratified_covers_every_row_once():
             assert np.all((col >= p * upp) & (col < (p + 1) * upp))
 
 
+def test_stratified_per_row_and_supervised():
+    """The stratified plan's per-row (sample_block=1) branch -- real local
+    rows padded with sentinel N -- and the supervised CE term's label
+    slicing through the stratified gather, streamed vs resident."""
+    N_s, B_s, ep, E_s, K_s = 64, 32, 2, 2, 3
+    rng = np.random.default_rng(21)
+    geno = rng.integers(0, 3, size=(N_s, M), dtype=np.uint8)
+    packed, m_pad = pack_with_padding(geno)
+    V = rng.normal(size=(m_pad, 8)).astype(np.float32) * 0.1
+    P0 = rng.uniform(0.2, 0.8, size=(K_s, m_pad)).astype(np.float32)
+    params = qp.init_params(jax.random.PRNGKey(1), jnp.asarray(V),
+                            jnp.asarray(P0), 32, [K_s])
+    tx = optax.adam(1e-3, b1=0.9, b2=0.95, eps=1e-8)
+    col_mask = jnp.asarray((np.arange(m_pad) < M).astype(np.float32))
+    pops_host = rng.integers(0, K_s, size=(N_s,)).astype(np.int32)
+
+    kw = dict(use_pallas=False, params_template=params, sample_block=1,
+              n_rows=N_s, stratified=ep)
+    resident = make_epoch_fn(tx, N_s, B_s, True, 7.0, **kw,
+                             compute_loss=True)
+    streamed = make_stream_epoch_fn(tx, N_s, B_s, True, 7.0, **kw,
+                                    compute_loss=True)
+    keys = jax.random.split(jax.random.PRNGKey(23), E_s)
+    p1, o1 = jax.tree.map(jnp.copy, params), tx.init(params)
+    p2, o2 = jax.tree.map(jnp.copy, params), tx.init(params)
+    for i in range(E_s):
+        p1, o1, l1 = resident(p1, o1, jnp.asarray(packed), col_mask,
+                              jnp.asarray(pops_host), keys[i])
+        p2, o2, l2 = streamed(p2, o2, packed, col_mask, pops_host, keys[i])
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for k1, k2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
+
+
 def test_stratified_trainer_emulated(tmp_path, monkeypatch):
     """Trainer-level A/B under the emulated 2-partition resident layout
     (NA_TPU_EMULATE_PROC_SHARDS) with NA_TPU_STRATIFIED=1: the streamed
