@@ -248,6 +248,7 @@ def bench_torch_baseline():
 
 
 def main():
+    t0 = time.time()
     sps = bench_jax()
     base = None
     if os.environ.get("NA_BENCH_NO_TORCH", "0") != "1":
@@ -266,18 +267,44 @@ def main():
     # single K is given). All heads share each pass's packed reads and
     # in-kernel unpack, so the sweep amortizes: BASELINE.md tracks
     # samples/s-per-head. Skipped when NA_BENCH_KS pins an explicit K list
-    # or NA_BENCH_MULTIHEAD=0 (smoke runs).
+    # or NA_BENCH_MULTIHEAD=0 (smoke runs). DEADLINE-GUARDED: the primary
+    # headline must never be lost to an external timeout on a slow/cold
+    # tunnel, so the sweep only starts while elapsed < NA_BENCH_MH_DEADLINE_S
+    # and is additionally bounded by SIGALRM -- on expiry the JSON ships
+    # without the multi_head key.
+    deadline = float(os.environ.get("NA_BENCH_MH_DEADLINE_S", "300"))
     if "NA_BENCH_KS" not in os.environ \
-            and os.environ.get("NA_BENCH_MULTIHEAD", "1") == "1":
+            and os.environ.get("NA_BENCH_MULTIHEAD", "1") == "1" \
+            and time.time() - t0 < deadline:
+        import signal
+
+        class _MhTimeout(Exception):
+            pass
+
+        def _on_alarm(signum, frame):
+            raise _MhTimeout()
+
         ks_sweep = list(range(2, 11))
-        sps_mh = bench_jax(KS=ks_sweep)
-        out["multi_head"] = {
-            "ks": f"{ks_sweep[0]}-{ks_sweep[-1]}",
-            "heads": len(ks_sweep),
-            "samples_per_sec": round(sps_mh, 2),
-            "head_samples_per_sec": round(sps_mh * len(ks_sweep), 2),
-            "cost_vs_single_head": round(sps / sps_mh, 2),
-        }
+        try:
+            prev = signal.signal(signal.SIGALRM, _on_alarm)
+            signal.alarm(int(os.environ.get("NA_BENCH_MH_TIMEOUT_S", "240")))
+        except ValueError:  # not the main thread: run unbounded
+            prev = None
+        try:
+            sps_mh = bench_jax(KS=ks_sweep)
+            out["multi_head"] = {
+                "ks": f"{ks_sweep[0]}-{ks_sweep[-1]}",
+                "heads": len(ks_sweep),
+                "samples_per_sec": round(sps_mh, 2),
+                "head_samples_per_sec": round(sps_mh * len(ks_sweep), 2),
+                "cost_vs_single_head": round(sps / sps_mh, 2),
+            }
+        except _MhTimeout:
+            out["multi_head"] = "skipped: deadline"
+        finally:
+            if prev is not None:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, prev)
     print(json.dumps(out))
 
 

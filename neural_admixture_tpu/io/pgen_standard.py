@@ -170,6 +170,11 @@ class StandardPgen:
         self._ld_base_idx = -1
         self._ld_base = None
         self._next = 0
+        # Native (C++) decoder state: caller-persisted LD base + validity
+        # flag (see native/bed_decode.cpp na_pgen_decode).
+        self._nat_base = np.zeros(self.N, np.uint8)
+        self._nat_valid = np.zeros(1, np.int64)
+        self._nat_next = 0
 
     def _load_index(self):
         n_blocks = -(-self.M // VBLOCK)
@@ -242,7 +247,21 @@ class StandardPgen:
         return g
 
     def read_block(self, v0: int, v1: int) -> np.ndarray:
-        """Dosages of variants [v0, v1) as (v1-v0, N) uint8, missing == 3."""
+        """Dosages of variants [v0, v1) as (v1-v0, N) uint8, missing == 3.
+
+        Uses the native C++ record decoder when built (same spec model,
+        pinned bit-identical to this pure-Python path by tests); any
+        native decode error falls back here."""
+        try:
+            from ..native import bed_native
+            native_ok = bed_native.pgen_available()
+        except ImportError:
+            native_ok = False
+        if native_ok and v1 > v0:
+            try:
+                return self._read_block_native(bed_native, v0, v1)
+            except ValueError:
+                self._nat_valid[0] = 0
         out = np.empty((v1 - v0, self.N), np.uint8)
         with open(self.path, "rb") as fh:
             start = v0
@@ -257,6 +276,29 @@ class StandardPgen:
                 if v >= v0:
                     out[v - v0] = g
         self._next = v1
+        return out
+
+    def _read_block_native(self, bed_native, v0: int, v1: int) -> np.ndarray:
+        """C++ decode of [v0, v1): one contiguous record read (rewound to
+        the nearest non-LD variant when the persisted LD state cannot
+        continue from v0)."""
+        if self._nat_valid[0] and v0 == self._nat_next:
+            start = v0
+        else:
+            start = v0
+            while start > 0 and (self.vrtypes[start] & 7) in (1, 2):
+                start -= 1
+            self._nat_valid[0] = 0
+        with open(self.path, "rb") as fh:
+            fh.seek(int(self.rec_pos[start]))
+            recs = np.fromfile(
+                fh, np.uint8, int(self.rec_pos[v1] - self.rec_pos[start]))
+        rec_off = (self.rec_pos[start:v1 + 1]
+                   - self.rec_pos[start]).astype(np.int64)
+        out = bed_native.pgen_decode(
+            recs, rec_off, self.vrtypes[start:v1], v0 - start, self.N,
+            _sample_id_bytes(self.N), self._nat_base, self._nat_valid)
+        self._nat_next = v1
         return out
 
 

@@ -160,3 +160,152 @@ double na_loglikelihood(const uint8_t* G, const double* P, const double* Q,
 }
 
 }  // extern "C"
+
+// ---------------- PGEN standard-mode (0x10) record decoder ------------------
+//
+// Hot inner loop of io/pgen_standard.py's pure-Python reader (same spec
+// model -- see that module's layout summary and VERIFICATION STATUS note;
+// the two implementations are pinned bit-identical by tests/test_pgen.py).
+// Sequential by necessity: LD-compressed records (vrtype & 7 in {1, 2})
+// patch the most recent non-LD variant's genotypes.
+
+namespace {
+
+// LEB128 vint at rec[*p]; 0 on success, -2 on overrun/overflow.
+inline int read_vint(const uint8_t* rec, int64_t len, int64_t* p,
+                     int64_t* val) {
+    int64_t v = 0;
+    int shift = 0;
+    while (true) {
+        if (*p >= len) return -2;
+        const uint8_t b = rec[(*p)++];
+        v |= static_cast<int64_t>(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+        if (shift > 56) return -2;
+    }
+    *val = v;
+    return 0;
+}
+
+// Difflist at rec[*p] -> (ids, vals, count); buffers sized >= N.
+int parse_difflist(const uint8_t* rec, int64_t len, int64_t* p, int64_t N,
+                   int64_t sid_bytes, int64_t* ids, uint8_t* vals,
+                   int64_t* count) {
+    int64_t L;
+    int rc = read_vint(rec, len, p, &L);
+    if (rc) return rc;
+    if (L < 0 || L > N) return -2;
+    *count = L;
+    if (L == 0) return 0;
+    const int64_t n_groups = (L + 63) / 64;
+    if (*p + n_groups * sid_bytes > len) return -2;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        int64_t s = 0;
+        for (int64_t b = 0; b < sid_bytes; ++b)
+            s |= static_cast<int64_t>(rec[*p + g * sid_bytes + b]) << (8 * b);
+        ids[g * 64] = s;
+    }
+    *p += n_groups * sid_bytes;
+    const int64_t rg = (L + 3) / 4;
+    if (*p + rg > len) return -2;
+    for (int64_t i = 0; i < L; ++i)
+        vals[i] = (rec[*p + (i >> 2)] >> (2 * (i & 3))) & 3;
+    *p += rg;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        const int64_t size = std::min<int64_t>(64, L - g * 64);
+        int64_t prev = ids[g * 64];
+        for (int64_t i = 1; i < size; ++i) {
+            int64_t d;
+            rc = read_vint(rec, len, p, &d);
+            if (rc) return rc;
+            prev += d;
+            ids[g * 64 + i] = prev;
+        }
+    }
+    for (int64_t i = 0; i < L; ++i)
+        if (ids[i] < 0 || ids[i] >= N) return -2;
+    return 0;
+}
+
+const uint8_t INV[4] = {2, 1, 0, 3};  // hom swap; het/missing fixed
+
+}  // namespace
+
+extern "C" {
+
+// Decode variant records [0, n_var) of a mode-0x10 PGEN.
+//   recs:     contiguous record bytes; record v at [rec_off[v], rec_off[v+1])
+//   vrtypes:  n_var vrtype bytes
+//   skip:     leading variants decoded only to rebuild the LD base state
+//   base:     (N,) caller-persisted LD-base genotypes; *base_valid in/out
+//   out:      (n_var - skip, N) uint8 genotypes, 3 = missing
+// Returns 0, or <0: -1 unsupported vrtype, -2 malformed record,
+// -3 LD record without a base.
+int64_t na_pgen_decode(const uint8_t* recs, const int64_t* rec_off,
+                       const uint8_t* vrtypes, int64_t n_var, int64_t skip,
+                       int64_t N, int64_t sid_bytes, uint8_t* base,
+                       int64_t* base_valid, uint8_t* out) {
+    std::vector<uint8_t> scratch(static_cast<size_t>(N));
+    std::vector<int64_t> ids(static_cast<size_t>(N));
+    std::vector<uint8_t> vals(static_cast<size_t>(N));
+    for (int64_t v = 0; v < n_var; ++v) {
+        uint8_t* row = (v >= skip) ? out + (v - skip) * N : scratch.data();
+        const uint8_t t = vrtypes[v] & 7;
+        const uint8_t* rec = recs + rec_off[v];
+        const int64_t len = rec_off[v + 1] - rec_off[v];
+        int64_t p = 0, L = 0;
+        int rc = 0;
+        switch (t) {
+            case 0: {
+                if ((N + 3) / 4 > len) return -2;
+                for (int64_t i = 0; i < N; ++i)
+                    row[i] = (rec[i >> 2] >> (2 * (i & 3))) & 3;
+                break;
+            }
+            case 1:
+            case 2: {
+                if (!*base_valid) return -3;
+                if (t == 1) {
+                    std::memcpy(row, base, static_cast<size_t>(N));
+                } else {
+                    for (int64_t i = 0; i < N; ++i) row[i] = INV[base[i]];
+                }
+                rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
+                                    vals.data(), &L);
+                if (rc) return rc;
+                for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
+                break;
+            }
+            case 4: {
+                if (1 + (N + 7) / 8 > len) return -2;
+                const uint8_t a = rec[0] & 3, b = (rec[0] >> 2) & 3;
+                for (int64_t i = 0; i < N; ++i)
+                    row[i] = (rec[1 + (i >> 3)] >> (i & 7)) & 1 ? b : a;
+                p = 1 + (N + 7) / 8;
+                rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
+                                    vals.data(), &L);
+                if (rc) return rc;
+                for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
+                break;
+            }
+            case 5: {
+                std::memset(row, 0, static_cast<size_t>(N));
+                rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
+                                    vals.data(), &L);
+                if (rc) return rc;
+                for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
+                break;
+            }
+            default:
+                return -1;
+        }
+        if (t != 1 && t != 2) {
+            std::memcpy(base, row, static_cast<size_t>(N));
+            *base_valid = 1;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -23,6 +23,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.na_loglikelihood.argtypes = [_u8p, _f8p, _f8p, _i64, _i64, _i64,
                                      ctypes.c_double]
     lib.na_loglikelihood.restype = ctypes.c_double
+    try:
+        # Optional: a stale shipped .so predating the PGEN decoder must
+        # not disable the other kernels.
+        _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.na_pgen_decode.argtypes = [_u8p, _i64p, _u8p, _i64, _i64, _i64,
+                                       _i64, _u8p, _i64p, _u8p]
+        lib.na_pgen_decode.restype = _i64
+        lib._has_pgen = True
+    except AttributeError:
+        lib._has_pgen = False
     return lib
 
 
@@ -93,3 +103,34 @@ def loglikelihood(G: np.ndarray, P: np.ndarray, Q: np.ndarray,
     K = P.shape[1]
     assert Q.shape == (N, K) and P.shape == (M, K)
     return float(lib.na_loglikelihood(G, P, Q, N, M, K, eps))
+
+
+def pgen_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_pgen", False)
+
+
+def pgen_decode(recs: np.ndarray, rec_off: np.ndarray, vrtypes: np.ndarray,
+                skip: int, N: int, sid_bytes: int, base: np.ndarray,
+                base_valid: np.ndarray) -> np.ndarray:
+    """Decode mode-0x10 variant records (io.pgen_standard's hot loop).
+
+    ``recs``: contiguous record bytes for len(vrtypes) variants, delimited
+    by ``rec_off`` (len + 1 int64). The first ``skip`` variants only
+    rebuild the LD-base state; the rest land in the returned
+    (len - skip, N) uint8 array. ``base`` (N,) uint8 and ``base_valid``
+    (1,) int64 persist the LD state across calls (caller-owned).
+    Raises ValueError on malformed/unsupported records (callers fall back
+    to the pure-Python decoder).
+    """
+    lib = _load()
+    n_var = vrtypes.shape[0]
+    out = np.empty((n_var - skip, N), dtype=np.uint8)
+    rc = lib.na_pgen_decode(
+        np.ascontiguousarray(recs, np.uint8),
+        np.ascontiguousarray(rec_off, np.int64),
+        np.ascontiguousarray(vrtypes, np.uint8),
+        n_var, skip, N, sid_bytes, base, base_valid, out)
+    if rc != 0:
+        raise ValueError(f"na_pgen_decode failed with code {rc}")
+    return out

@@ -256,6 +256,33 @@ def test_standard_mode_packed_and_rows(tmp_path, monkeypatch):
         counts, np.bincount(G[5:17].ravel(), minlength=4))
 
 
+def test_standard_mode_native_matches_pure(tmp_path, monkeypatch):
+    """The C++ record decoder (native/bed_decode.cpp na_pgen_decode) must
+    be bit-identical to the pure-Python reference path, including LD-state
+    reuse across sequential calls and random-access rewinds."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    from neural_admixture_tpu.native import bed_native
+    if not bed_native.pgen_available():
+        pytest.skip("native library unavailable")
+    G = _geno_mode16(N=47, M=260, seed=13)
+    path = str(tmp_path / "nat.pgen")
+    write_pgen_standard(path, G)
+
+    r_nat = StandardPgen(path)
+    blocks_nat = [r_nat.read_block(v0, min(v0 + 64, 260))
+                  for v0 in range(0, 260, 64)]
+    ra_nat = r_nat.read_block(77, 150)  # random access (rewind)
+
+    monkeypatch.setattr(bed_native, "pgen_available", lambda: False)
+    r_pure = StandardPgen(path)
+    for v0, blk in zip(range(0, 260, 64), blocks_nat):
+        np.testing.assert_array_equal(
+            blk, r_pure.read_block(v0, min(v0 + 64, 260)))
+    np.testing.assert_array_equal(ra_nat, r_pure.read_block(77, 150))
+    np.testing.assert_array_equal(blocks_nat[0].T[:, :64], G[:, :64])
+
+
 def test_standard_mode_rejects_unknown_format(tmp_path):
     from neural_admixture_tpu.io.pgen_standard import StandardPgen
     path = tmp_path / "bad.pgen"
