@@ -333,18 +333,18 @@ def _write_vint(out: bytearray, v: int) -> None:
 
 
 def write_pgen_standard(path: str, G: np.ndarray, psam: bool = True,
-                        ld_chain: bool = True, idx_enc: int = 4
+                        ld_chain: bool = True, idx_enc: int = None
                         ) -> List[int]:
     """Write ``G`` (N, M) uint8 dosages (3 = missing) as a mode-0x10 PGEN,
     choosing the cheapest representation per variant like plink2 does
     (plain / sparse difflist / onebit / LD difflist vs the previous
     non-LD variant). ``idx_enc`` = the format byte's index encoding
-    (0..3 = 4-bit vrtypes, 4..7 = 8-bit; (value & 3) + 1 length bytes).
-    Returns the chosen vrtypes (for tests asserting type coverage).
-    Fixture/tooling writer -- it also pins the reader above bit-exactly."""
-    assert 0 <= idx_enc <= 7, idx_enc
-    vrtype8 = idx_enc >= 4
-    len_b = (idx_enc & 3) + 1
+    (0..3 = 4-bit vrtypes, 4..7 = 8-bit; (value & 3) + 1 length bytes);
+    None = 8-bit vrtypes with the narrowest length width that fits the
+    longest record (1 byte only covers N <= 1020: a plain record is
+    ceil(N/4) bytes). Returns the chosen vrtypes (for tests asserting
+    type coverage). Fixture/tooling writer -- it also pins the reader
+    above bit-exactly."""
     G = np.ascontiguousarray(G, np.uint8)
     N, M = G.shape
     recs, vrtypes = [], []
@@ -373,6 +373,15 @@ def write_pgen_standard(path: str, G: np.ndarray, psam: bool = True,
         recs.append(rec)
         if t not in (1, 2):
             base = g
+    if idx_enc is None:
+        max_len = max((len(r) for r in recs), default=0)
+        len_b = 1
+        while max_len >= 256 ** len_b:
+            len_b += 1
+        idx_enc = 4 + (len_b - 1)
+    assert 0 <= idx_enc <= 7, idx_enc
+    vrtype8 = idx_enc >= 4
+    len_b = (idx_enc & 3) + 1
     with open(path, "wb") as fh:
         fh.write(MAGIC + b"\x10")
         fh.write(np.asarray([M], "<u4").tobytes())

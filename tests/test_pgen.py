@@ -283,6 +283,35 @@ def test_standard_mode_native_matches_pure(tmp_path, monkeypatch):
     np.testing.assert_array_equal(blocks_nat[0].T[:, :64], G[:, :64])
 
 
+@pytest.mark.parametrize("N", [255, 256, 257, 700, 1500])
+def test_standard_mode_wide_samples(tmp_path, N):
+    """Edge geometry the small fixtures miss: sample counts spanning the
+    1-to-2-byte sample-id boundary, difflists longer than one 64-entry
+    group, and id deltas >= 128 (multi-byte LEB128 vints). Exercises both
+    the native and pure decoders (the native path runs when built; the
+    A/B test above pins them identical)."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    rng = np.random.default_rng(N)
+    M = 40
+    G = np.zeros((N, M), np.uint8)
+    for v in range(M):
+        if v % 3 == 0:  # long sparse difflist: ~N/3 exceptions, >64 entries
+            idx = rng.choice(N, size=max(65, N // 3), replace=False)
+            G[idx, v] = rng.integers(1, 4, idx.size)
+        elif v % 3 == 1:  # very sparse: few exceptions with huge id deltas
+            idx = np.sort(rng.choice(N, size=3, replace=False))
+            G[idx, v] = rng.integers(1, 4, 3)
+        else:  # dense
+            G[:, v] = rng.integers(0, 4, N)
+    path = str(tmp_path / f"wide{N}.pgen")
+    vrtypes = write_pgen_standard(path, G)
+    assert 5 in {t & 7 for t in vrtypes}
+    r = StandardPgen(path)
+    np.testing.assert_array_equal(r.read_block(0, M).T, G)
+    np.testing.assert_array_equal(r.read_block(7, 23).T, G[:, 7:23])
+
+
 def test_standard_mode_rejects_unknown_format(tmp_path):
     from neural_admixture_tpu.io.pgen_standard import StandardPgen
     path = tmp_path / "bad.pgen"
