@@ -1,1 +1,1 @@
-from .mesh import make_mesh, shard_params, shard_batch, DATA_AXIS, SNP_AXIS  # noqa: F401
+from .mesh import make_mesh, shard_params, DATA_AXIS, SNP_AXIS  # noqa: F401

@@ -44,6 +44,17 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     # after this returns).
     if jax.distributed.is_initialized():
         return True
+    # A PARTIAL multi-process config must fail loudly, not fall through to
+    # "single-process": every rank believing it is the master duplicates
+    # the whole run and races on output writes.
+    pid_set = process_id is not None or os.environ.get("NA_TPU_PROCESS_ID")
+    if (env_coord or env_nproc > 1 or pid_set) \
+            and not (env_coord and env_nproc > 1):
+        raise ValueError(
+            "Incomplete multi-process configuration: set ALL of "
+            "NA_TPU_COORDINATOR, NA_TPU_NUM_PROCESSES (> 1), and "
+            "NA_TPU_PROCESS_ID (or none of them). Got coordinator="
+            f"{env_coord!r}, num_processes={env_nproc}.")
     if env_coord and env_nproc > 1:
         pid = process_id if process_id is not None else \
             int(os.environ.get("NA_TPU_PROCESS_ID", "0"))
@@ -80,12 +91,28 @@ def is_master() -> bool:
 def shutdown_distributed() -> None:
     """Tear down the jax.distributed runtime if it is active (the multi-host
     analogue of the reference's process-group teardown on failure,
-    /root/reference/neural_admixture/src/main.py:119-133). No-op otherwise."""
-    if jax.process_count() > 1:
+    /root/reference/neural_admixture/src/main.py:119-133). No-op otherwise.
+
+    Gated on jax.distributed.is_initialized(), NOT jax.process_count():
+    the latter would initialize the XLA backend just to decide the
+    teardown is a no-op -- on a tunneled TPU an early error exit would
+    silently stall for minutes dialing the runtime (see the note at the
+    top of maybe_initialize_distributed)."""
+    if jax.distributed.is_initialized():
         try:
             jax.distributed.shutdown()
         except Exception:
             pass
+
+
+def rows_per_process(N: int, d_sz: int, n_proc: int, quantum: int = 1) -> int:
+    """Padded per-process resident-row count: the global sample count
+    rounded up to lcm(d_sz, n_proc, quantum), divided evenly. THE single
+    source of the formula -- host_sample_shard and the engine's
+    block-sampling layout (engine.launch_training, incl. its emulated
+    NA_TPU_EMULATE_PROC_SHARDS mode) must agree byte-for-byte on it."""
+    q = np.lcm(np.lcm(d_sz, n_proc), quantum)
+    return int(((N + q - 1) // q) * q) // n_proc
 
 
 def host_sample_shard(N: int, data_axis_size: Optional[int] = None,
@@ -111,9 +138,7 @@ def host_sample_shard(N: int, data_axis_size: Optional[int] = None,
     d_sz = data_axis_size or jax.device_count()
     assert d_sz % n_proc == 0, (
         f"data axis ({d_sz}) must spread evenly over {n_proc} processes")
-    quantum = np.lcm(np.lcm(d_sz, n_proc), quantum)
-    n_pad = ((N + quantum - 1) // quantum) * quantum
-    rows_pp = n_pad // n_proc
+    rows_pp = rows_per_process(N, d_sz, n_proc, quantum)
     # With more padding than rows_pp (tiny N, many processes) a tail
     # process can own only padding; clamp so start <= end <= N and it
     # simply reads an empty block.

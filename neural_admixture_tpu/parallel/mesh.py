@@ -73,9 +73,3 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
         lambda x, s: global_put(x, NamedSharding(mesh, s)),
         params, specs,
         is_leaf=lambda x: not isinstance(x, dict))
-
-
-def shard_batch(packed, mesh: Mesh):
-    """Shard a packed genotype array (N, W): rows over data, bytes over snp."""
-    return jax.device_put(packed,
-                          NamedSharding(mesh, P(DATA_AXIS, SNP_AXIS)))

@@ -166,8 +166,10 @@ def infer_q_sharded(mesh, params, data_dev, N: int, planar: bool,
     def per_device(params, xb):
         if tile_major:
             from ..ops.fused_step import _xv_call
-            from ..ops.fused import pick_tb
-            Xp_loc = _xv_call(xb, params["V"], pick_tb(xb.shape[1]),
+            from ..ops.fused import pick_tb_wide
+            # Row-local kernel: the wide (<=1024) batch-tile cap, same as
+            # the single-device fused_infer_q path (CLAUDE.md tb policy).
+            Xp_loc = _xv_call(xb, params["V"], pick_tb_wide(xb.shape[1]),
                               no_missing)
         else:
             X = unpack_dosage_x_planar(xb) if planar else unpack_dosage_x(xb)

@@ -887,9 +887,12 @@ class NeuralAdmixtureTrainer:
                 ep, d_sz = n_proc, mesh.shape[DATA_AXIS]
             else:
                 ep, d_sz = (int(s) for s in emul.split(","))
-            q = shard_quantum(use_pallas, d_sz, blk)
-            q_pp = int(np.lcm(np.lcm(d_sz, ep), q))
-            rows_pp = ((N + q_pp - 1) // q_pp) * q_pp // ep
+            from ..parallel.distributed import rows_per_process
+            # The SAME formula sample_shard/host_sample_shard used for the
+            # input reads -- one source, so the host_rows assert below
+            # genuinely pins this layout too.
+            rows_pp = rows_per_process(N, d_sz, ep,
+                                       shard_quantum(use_pallas, d_sz, blk))
             self._row_order = shard_row_order(N, cfg.seed, ep, rows_pp)
             if n_proc > 1:
                 p = jax.process_index()
@@ -1070,6 +1073,7 @@ class NeuralAdmixtureTrainer:
         opt_state = tx.init(params)
 
         supervised = pops is not None
+        self._supervised = supervised  # resume-compat guard (_ckpt_meta)
         pops_np = np.asarray(pops if supervised else np.zeros(N))
         if self._row_order is not None:
             pops_np = pops_np[self._row_order]
@@ -1308,6 +1312,12 @@ class NeuralAdmixtureTrainer:
             "n_components": int(cfg.n_components),
             "seed": int(cfg.seed),
             "sample_block": int(max(1, cfg.sample_block)),
+            # Loss/optimizer trajectory shapers: a resume under a different
+            # LR, CE weight, or supervision mode steps the restored Adam
+            # moments through a different objective -- silent divergence.
+            "learning_rate": float(cfg.learning_rate),
+            "supervised": bool(getattr(self, "_supervised", False)),
+            "supervised_loss_weight": float(cfg.supervised_loss_weight),
         }
 
     def _save_checkpoint(self, epoch: int, params, opt_state, key) -> None:
@@ -1360,8 +1370,11 @@ class NeuralAdmixtureTrainer:
                 # tests/test_checkpoint_resume.py::test_resume_across_mesh_shapes).
                 saved_mesh = saved.pop("mesh_shape", None)
                 now_mesh = now.pop("mesh_shape")
-                diffs = {k: (saved.get(k), now[k]) for k in now
-                         if saved.get(k) != now[k]}
+                # Keys absent from the checkpoint (older format) are not
+                # compared -- newly-guarded hyperparameters must not brick
+                # resumes of checkpoints written before the key existed.
+                diffs = {k: (saved[k], now[k]) for k in now
+                         if k in saved and saved[k] != now[k]}
                 if diffs:
                     raise ValueError(
                         "Checkpoint hyperparameters do not match this run; "
@@ -1543,9 +1556,9 @@ class NeuralAdmixtureTrainer:
     def display_divergences(self, params, M: int) -> None:
         if not self.master:
             return
+        log.info("    Results:")
         for k in self.ks:
             P = np.asarray(params["decoders"][f"k{k}"]).T[:M]  # (M, k)
-            log.info("    Results:")
             log.info(f"\n            Fst divergences between estimated "
                      f"populations: (K = {k})")
             log.info("")

@@ -84,7 +84,6 @@ def main_train(args, t0: float) -> int:
         mesh_shape=_resolve_mesh_shape(args))
     if cfg.checkpoint_every or cfg.resume:
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
-    trainer = NeuralAdmixtureTrainer(cfg, master=is_master())
 
     try:
         # ------------------------- input pipeline --------------------------
@@ -97,12 +96,15 @@ def main_train(args, t0: float) -> int:
         # PGEN additionally support per-host ROW-BLOCK reads (multi-process).
         row_sliceable = ".bed" in suffixes or ".pgen" in suffixes
         packed_native = row_sliceable or ".vcf" in suffixes
-        # First backend contact below: remote TPU runtimes can take minutes
-        # to dial/compile, which otherwise looks like a silent hang.
+        # FIRST backend contact (is_master -> jax.process_index dials the
+        # runtime): remote TPU backends can take minutes, which otherwise
+        # looks like a silent hang -- log before touching it, and only
+        # construct the trainer (whose master flag needs the backend) after.
         log.info("    Initializing the JAX backend...")
         n_proc = jax.process_count()
         log.info(f"    Backend '{jax.default_backend()}' with "
                  f"{len(jax.devices())} device(s).")
+        trainer = NeuralAdmixtureTrainer(cfg, master=is_master())
         data, host_rows = None, None
         if n_proc > 1:
             assert row_sliceable, (

@@ -85,6 +85,24 @@ def _spawn_pair(cmd_builder, devices=1, extra=None):
     return outs
 
 
+def test_partial_distributed_config_fails_loudly(monkeypatch):
+    """A partially-set multi-process env must raise, not fall through to
+    every rank believing it is a single-process master (duplicate work +
+    racing output writes)."""
+    from neural_admixture_tpu.parallel.distributed import (
+        maybe_initialize_distributed)
+    for k in ("NA_TPU_COORDINATOR", "NA_TPU_NUM_PROCESSES",
+              "NA_TPU_PROCESS_ID"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("NA_TPU_COORDINATOR", "127.0.0.1:1")
+    with pytest.raises(ValueError, match="Incomplete multi-process"):
+        maybe_initialize_distributed()
+    monkeypatch.delenv("NA_TPU_COORDINATOR")
+    monkeypatch.setenv("NA_TPU_PROCESS_ID", "1")
+    with pytest.raises(ValueError, match="Incomplete multi-process"):
+        maybe_initialize_distributed()
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     single, multi = tmp_path / "single", tmp_path / "multi"
     outs = _spawn_pair(lambda: _cli(multi, "mh"))
