@@ -149,6 +149,15 @@ def parse_train_args(argv: List[str]) -> argparse.Namespace:
                         "thousand units with the init draw (BASELINE.md); "
                         "restarts recover that spread at R x the training "
                         "cost. Default 1 (reference behavior).")
+    parser.add_argument("--cv", required=False, default=None, type=int,
+                        help="Number of folds for cross-validation. The "
+                        "reference declares this flag but ships it (and its "
+                        "whole implementation) commented out "
+                        "(reference entry.py:48, src/main.py:47-79); here "
+                        "it works: per-fold multi-head training, held-out "
+                        "samples projected through the trained encoder, "
+                        "per-K mean±std validation error logged and written "
+                        "to {name}.cv_errors.csv before the full-data fit.")
     parser.add_argument("--threads", required=False, default=1, type=int,
                         help="Number of threads to be used during execution.")
     parser.add_argument("--no_progress", action="store_true",
@@ -242,6 +251,8 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             "Number of components for SVD must be > 0."
         assert getattr(args, "sample_block", 1) >= 1, \
             "sample_block must be >= 1."
+        assert getattr(args, "cv", None) is None or args.cv >= 2, \
+            "Number of cross-validation folds must be >= 2."
         assert getattr(args, "init_restarts", 1) >= 1, \
             "init_restarts must be >= 1."
         if args.k is not None:

@@ -186,6 +186,22 @@ def main_train(args, t0: float) -> int:
             log.info("    Running Gaussian Mixture in PCA subspace...")
             log.info("")
 
+        # --------------------------- cross-validation -----------------------
+        # --cv N: the reference declares the flag but ships the whole
+        # implementation commented out (entry.py:48, src/main.py:47-79,
+        # calling helpers that do not exist in its tree); here it runs for
+        # real before the full-data fit (train/cv.py).
+        cv_folds = int(getattr(args, "cv", 0) or 0)
+        if cv_folds:
+            assert n_proc == 1, \
+                "--cv runs single-process (each fold re-slices sample rows)."
+            from .cv import run_cross_validation
+            if is_master():
+                Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+            run_cross_validation(packed, N, M, sorted(ks), cv_folds,
+                                 int(args.seed), cfg, args.name,
+                                 args.save_dir, pops=y_num)
+
         # ------------------------------ train ------------------------------
         # --init_restarts R: train R independently seeded runs (fresh GMM
         # init + training RNG per restart) and keep the one with the best
