@@ -128,6 +128,34 @@ def run_cross_validation(packed: np.ndarray, N: int, M: int,
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     log.info(f"    CV errors written to {path}.")
+    _save_cv_error_plot(out, ks, os.path.join(save_dir,
+                                              f"{name}.cv_errors.png"))
     best = min(out, key=lambda k: out[k][0])
     log.info(f"    Lowest CV error at K={best}.")
     return out
+
+
+def _save_cv_error_plot(out, ks, path: str) -> None:
+    """CV-error-vs-K elbow plot (the reference's phantom
+    utils.save_cv_error_plot, src/main.py:79). Best-effort: skipped
+    without matplotlib or with a single K."""
+    if len(ks) < 2:
+        return
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    means = [out[k][0] for k in ks]
+    stds = [out[k][1] for k in ks]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.errorbar(ks, means, yerr=stds, marker="o", capsize=3)
+    ax.set_xlabel("K")
+    ax.set_ylabel("CV error (per-sample negative validation log-likelihood)")
+    ax.set_xticks(list(ks))
+    ax.set_title("Cross-validation error by K")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    log.info(f"    CV error plot written to {path}.")

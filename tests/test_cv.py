@@ -47,6 +47,11 @@ def test_cli_cv_end_to_end(tmp_path):
     # the normal fit still ran and wrote its outputs
     assert np.genfromtxt(f"{out}/cvrun.2.Q").shape == (60, 2)
     assert np.genfromtxt(f"{out}/cvrun.3.Q").shape == (60, 3)
+    # elbow plot (best-effort; matplotlib is present in CI)
+    import importlib.util
+    if importlib.util.find_spec("matplotlib"):
+        import os
+        assert os.path.exists(f"{out}/cvrun.cv_errors.png")
 
 
 def test_cv_rejects_bad_folds(tmp_path):
