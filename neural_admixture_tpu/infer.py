@@ -253,7 +253,10 @@ def main_infer(args, t0: float) -> int:
         packed = np.pad(packed, ((0, 0), (0, want_w - packed.shape[1])))
 
     log.info("    Running inference...")
-    ks = [int(k) for k in config["ks"]]
+    # Qs come back in ascending-K order (infer_q sorts); normalize the
+    # config's list the same way so filenames match their contents even
+    # for hand-edited / externally-authored configs.
+    ks = sorted(int(k) for k in config["ks"])
     if mesh_shape is not None:
         log.info(f"    Sharded inference over a {mesh_shape[0]}x"
                  f"{mesh_shape[1]} (data, snp) mesh.")
@@ -264,10 +267,15 @@ def main_infer(args, t0: float) -> int:
     log.info("    Inference run successfully! Writing outputs...!")
 
     if len(ks) == 1:
-        K, min_k, max_k = ks[0], None, None
+        write_outputs(Qs, args.out_name, ks[0], None, None, args.save_dir)
+    elif ks == list(range(ks[0], ks[-1] + 1)):
+        write_outputs(Qs, args.out_name, None, ks[0], ks[-1], args.save_dir)
     else:
-        K, min_k, max_k = None, ks[0], ks[-1]
-    write_outputs(Qs, args.out_name, K, min_k, max_k, args.save_dir)
+        # Non-contiguous K list (externally-authored config): write each
+        # K by name instead of letting the min..max range mislabel files.
+        for i, k in enumerate(ks):
+            write_outputs([Qs[i]], args.out_name, k, None, None,
+                          args.save_dir)
 
     log.info("")
     log.info(f"    Total elapsed time: {time.time() - t0:.2f} seconds.")

@@ -37,7 +37,11 @@ def read_bed_dims(file: str) -> Tuple[int, int]:
     fam_file = file_path.with_suffix(".fam")
     bed_file = file_path.with_suffix(".bed")
     with open(fam_file, "r") as fam:
-        N = sum(1 for _ in fam)
+        # Skip blank lines (a trailing newline-only line would otherwise
+        # add a phantom sample decoded from BED padding bits -- code 0b00
+        # is dosage 2, silently skewing allele frequencies; the payload
+        # size check below cannot catch it when ceil(N/4) is unchanged).
+        N = sum(1 for line in fam if line.strip())
     n_bytes_per_snp = ceil(N / 4)
     total = bed_file.stat().st_size - 3
     if total % n_bytes_per_snp != 0:
@@ -94,6 +98,25 @@ _BYTE_CODE_CNT = np.stack([( _LUT8 == v).sum(axis=1)
                            for v in range(4)], axis=1).astype(np.int64)
 
 
+def _chunked_hist(arr: np.ndarray, minlength: int = 256) -> np.ndarray:
+    """256-bin byte histogram with one bounded reused buffer.
+
+    np.bincount first casts its input to intp -- an 8x transient copy of
+    the WHOLE array (~200 GB for a 25 GB biobank packed matrix) -- so the
+    cast runs chunked through ``buf``. ``arr`` may be a memmap (one
+    sequential read pass)."""
+    flat = arr.reshape(-1)
+    total = flat.size
+    chunk = int(max(1 << 16, min(1 << 22, total // 32))) or 1
+    buf = np.empty(chunk, np.intp)
+    hist = np.zeros(max(256, minlength), np.int64)
+    for i in range(0, total, chunk):
+        n = min(chunk, total - i)
+        np.copyto(buf[:n], flat[i:i + n])
+        hist += np.bincount(buf[:n], minlength=max(256, minlength))
+    return hist
+
+
 def bed_code_counts(B: np.ndarray, N: int) -> np.ndarray:
     """Count dosage codes {0,1,2,3} over the whole BED matrix, excluding the
     tail padding samples of each byte. Returns shape (4,) int64.
@@ -104,20 +127,12 @@ def bed_code_counts(B: np.ndarray, N: int) -> np.ndarray:
     temporaries -- np.bincount on the raw bytes would first cast ALL of
     them to intp, an 8x copy, so the cast runs chunked through ``buf``).
     ``B`` may be a memmap (one sequential read pass)."""
-    flat = B.reshape(-1)
-    total = flat.size
-    chunk = int(max(1 << 16, min(1 << 22, total // 32))) or 1
-    buf = np.empty(chunk, np.intp)
-    hist = np.zeros(256, np.int64)
-    for i in range(0, total, chunk):
-        n = min(chunk, total - i)
-        np.copyto(buf[:n], flat[i:i + n])
-        hist += np.bincount(buf[:n], minlength=256)
+    hist = _chunked_hist(B)
     counts = hist @ _BYTE_CODE_CNT  # (256,) @ (256, 4) -> (4,)
     # subtract the per-SNP padding samples (bits beyond N in the last byte)
     tail = (-N) % 4
     if tail:
-        last_hist = np.bincount(B[:, -1], minlength=256).astype(np.int64)
+        last_hist = _chunked_hist(np.ascontiguousarray(B[:, -1]))
         for slot in range(4 - tail, 4):
             pad_vals = _LUT8[:, slot]  # value of slot `slot` for each byte
             for v in range(4):
@@ -147,9 +162,11 @@ for _b in range(256):
 
 def packed_code_counts(packed: np.ndarray, M: int) -> np.ndarray:
     """Dosage-code histogram {0,1,2,3} of 2-bit packed rows, excluding the
-    zero padding columns beyond M. O(256) extra memory."""
+    zero padding columns beyond M. Bounded extra memory (the histogram
+    runs chunked -- a bare bincount would make an 8x intp copy of the
+    whole packed matrix, see _chunked_hist)."""
     packed = np.asarray(packed)
-    hist = np.bincount(packed.ravel(), minlength=256).astype(np.int64)
+    hist = _chunked_hist(packed)
     counts = hist @ _PACKED_CODE_CNT
     counts[0] -= packed.shape[0] * (packed.shape[1] * 4 - M)
     return counts

@@ -178,7 +178,8 @@ def read_pgen_packed(path: str, lane_multiple: int = 2048
     for v0 in range(0, M, _BLOCK_VARIANTS):
         v1 = min(v0 + _BLOCK_VARIANTS, M)
         gb = np.ascontiguousarray(reader.read_block(v0, v1).T)  # (N, vb)
-        counts += np.bincount(gb.ravel(), minlength=4)[:4]
+        from .bed import _chunked_hist  # bounded-copy histogram
+        counts += _chunked_hist(gb)[:4]
         vb4 = -(-(v1 - v0) // 4) * 4
         if vb4 != v1 - v0:  # zero-pad the final partial byte's fields
             gb = np.concatenate(

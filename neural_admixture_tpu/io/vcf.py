@@ -78,9 +78,12 @@ def read_vcf_packed(path: str, lane_multiple: int = 2048
     one parsing pass, variant blocks packed as they arrive (the dense
     (N, M) uint8 matrix -- 100 GB at biobank scale -- never exists), then
     validation and the minor-allele flip in the packed domain. Returns
-    (packed (N, W) uint8, N, M). Peak memory is the packed matrix plus one
-    variant block; M need not be known in advance (packed column chunks
-    are concatenated once at the end).
+    (packed (N, W) uint8, N, M). Peak RESIDENT memory is the packed matrix
+    plus one variant block; M need not be known in advance: packed column
+    chunks are copied into the final array at the end, and although that
+    array's VIRTUAL size briefly doubles the footprint, np.zeros commits
+    pages lazily (calloc/mmap) while each chunk is freed right after its
+    columns are copied, so committed pages stay ~flat through the loop.
     """
     from .bed import (flip_packed_minor_allele, packed_code_counts,
                       rezero_flip_padding)

@@ -40,7 +40,9 @@ def kfold_indices(N: int, n_splits: int, seed: int
     the reference's dead code builds at src/main.py:62): RandomState
     shuffle, then contiguous test blocks with the first N % n_splits
     folds one larger."""
-    assert 2 <= n_splits <= N, (n_splits, N)
+    if not 2 <= n_splits <= N:
+        raise ValueError(
+            f"--cv needs between 2 and N={N} folds, got {n_splits}.")
     idx = np.arange(N)
     np.random.RandomState(seed).shuffle(idx)
     sizes = np.full(n_splits, N // n_splits, dtype=np.int64)
@@ -54,21 +56,6 @@ def kfold_indices(N: int, n_splits: int, seed: int
     return folds
 
 
-def _infer_q_rows(params: Dict, packed_rows: np.ndarray, ks: List[int]
-                  ) -> Dict[int, np.ndarray]:
-    """Project held-out packed rows through the trained encoder (the
-    `infer` operation) -- (n_val, k) Q per K."""
-    import jax.numpy as jnp
-
-    from .chunked import chunked_forward
-    from .engine import INFER_BATCH, _infer_batch
-
-    n_val = packed_rows.shape[0]
-    params_dev = {k: v for k, v in params.items()}
-    qs = chunked_forward(
-        lambda blk: _infer_batch(params_dev, blk), packed_rows, n_val,
-        min(n_val, INFER_BATCH))
-    return {k: np.asarray(qs[f"k{k}"]) for k in ks}
 
 
 def run_cross_validation(packed: np.ndarray, N: int, M: int,
@@ -105,12 +92,15 @@ def run_cross_validation(packed: np.ndarray, N: int, M: int,
         _, Ps, params = trainer.launch_training(
             P_init, packed_tr, V, M, n_tr,
             pops=pops[tr_idx] if pops is not None else None)
-        q_val = _infer_q_rows(params, packed_val, ks)
+        # Project held-out rows through the trained encoder -- the same
+        # helper `infer` uses (fused packed path on TPU).
+        from ..infer import infer_q
+        q_val = infer_q(params, packed_val, n_val, ks)
         for i, k in enumerate(ks):
             ll = float(loglikelihood_packed(
                 packed_val, M,
                 np.ascontiguousarray(Ps[i].astype(np.float64)),
-                np.ascontiguousarray(q_val[k].astype(np.float64))))
+                np.ascontiguousarray(q_val[i].astype(np.float64))))
             errs[k].append(-ll / n_val)
         log.info(f"        Fold {f + 1}/{n_splits} done "
                  f"({n_tr} train / {n_val} validation samples).")
@@ -145,17 +135,22 @@ def _save_cv_error_plot(out, ks, path: str) -> None:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-    except ImportError:
+        means = [out[k][0] for k in ks]
+        stds = [out[k][1] for k in ks]
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.errorbar(ks, means, yerr=stds, marker="o", capsize=3)
+        ax.set_xlabel("K")
+        ax.set_ylabel(
+            "CV error (per-sample negative validation log-likelihood)")
+        ax.set_xticks(list(ks))
+        ax.set_title("Cross-validation error by K")
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    except Exception as e:  # noqa: BLE001 - an optional plot must never
+        # abort the run before the full-data fit (broken backend cache,
+        # font-cache OSError, read-only dir...); the csv already has the
+        # numbers.
+        log.info(f"    CV error plot skipped ({type(e).__name__}: {e}).")
         return
-    means = [out[k][0] for k in ks]
-    stds = [out[k][1] for k in ks]
-    fig, ax = plt.subplots(figsize=(6, 4))
-    ax.errorbar(ks, means, yerr=stds, marker="o", capsize=3)
-    ax.set_xlabel("K")
-    ax.set_ylabel("CV error (per-sample negative validation log-likelihood)")
-    ax.set_xticks(list(ks))
-    ax.set_title("Cross-validation error by K")
-    fig.tight_layout()
-    fig.savefig(path, dpi=120)
-    plt.close(fig)
     log.info(f"    CV error plot written to {path}.")

@@ -52,6 +52,21 @@ def test_read_bed_packed_applies_flip(tmp_path):
     np.testing.assert_array_equal(unpack_2bit_rows(packed, m_pad)[:, M:], 0)
 
 
+def test_fam_trailing_blank_line_not_a_sample(tmp_path):
+    """A .fam ending with a blank line must not add a phantom sample
+    decoded from BED padding bits (padding code 0b00 = dosage 2 would
+    silently skew every allele frequency; the payload-size check cannot
+    catch it when ceil(N/4) is unchanged)."""
+    G = np.random.default_rng(7).integers(0, 3, size=(7, 40)).astype(np.uint8)
+    G[0, 0] = 0
+    path = _write_bed(tmp_path, G)
+    with open(tmp_path / "t.fam", "a") as f:
+        f.write("\n")  # trailing blank line
+    assert bed.read_bed_dims(path) == (7, 40)
+    packed, N, M = bed.read_bed_packed(path)
+    assert (N, M) == (7, 40)
+
+
 def test_read_bed_packed_block_streamed_exact(tmp_path):
     """SNP-block streaming (any block size, incl. non-aligned tails) must be
     bit-identical to a single-block ingest."""
