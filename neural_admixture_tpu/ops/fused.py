@@ -83,12 +83,16 @@ def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1,
     base = ((B + align - 1) // align) * align
     if base // d_sz <= cap or align % (8 * d_sz):
         return base
+    # Candidate tiles stride down from the largest multiple of 8 at or
+    # below the cap (a raw `range(cap, ..., -8)` would yield NO multiples
+    # of 8 when an NA_TPU_TB_HEAVY override is not itself one, silently
+    # disabling the padding optimization).
+    cap8 = cap & ~7
     b = base
     while b // d_sz <= base // d_sz + cap:
         local = b // d_sz
         if local % 8 == 0 and any(local % tb == 0
-                                  for tb in range(cap, cap // 2 - 1, -8)
-                                  if tb % 8 == 0):
+                                  for tb in range(cap8, cap8 // 2 - 1, -8)):
             return b
         b += align
     return base

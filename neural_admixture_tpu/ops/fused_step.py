@@ -688,6 +688,15 @@ def make_indexed_training_loss(head_keys: List[str], blk: int,
     no padding rows appear)."""
     head_keys = sorted(head_keys)
     blk = int(blk)
+    if blk > INDEXED_TB_CAP:
+        # The heavy loss/dq_dp kernels take the sample block as their batch
+        # tile; above the measured scoped-vmem cap the draw buffer fails
+        # Mosaic compilation (fused.py tb=800 measurements) -- fail with
+        # guidance instead of a compiler error deep in the first step.
+        raise ValueError(
+            f"--sample_block {blk} exceeds the indexed-path batch-tile cap "
+            f"({INDEXED_TB_CAP}); use a smaller sample_block or unset "
+            "NA_TPU_INDEXED.")
 
     def _forward(V, enc_params, Ps: Dict, u32, blk_idx):
         Xp = _xv_call(u32, V, blk, no_missing, blk_idx=blk_idx)

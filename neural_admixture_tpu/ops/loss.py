@@ -53,6 +53,13 @@ def _bce_fwd(raw_rec, x, col_mask, row_weight):
 
 
 def _bce_bwd(res, g):
+    # COTANGENT CONTRACT: only the reconstruction argument (argnum 0) is
+    # differentiable; x, col_mask, and row_weight deliberately get ZERO
+    # cotangents (their true gradients exist -- torch's BCELoss defines a
+    # target gradient -- but genotypes/masks/weights are data, never
+    # parameters, and the fused Pallas backward computes none of them).
+    # Differentiating this loss wrt argnums >= 1 returns zeros, not the
+    # mathematical gradient.
     raw_rec, x, col_mask, row_weight = res
     rec = jnp.clip(raw_rec, 0.0, 1.0)
     denom = jnp.maximum(rec * (1.0 - rec), _GRAD_EPS)

@@ -25,11 +25,18 @@ from .pack import unpack_genotypes
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def svd_flip(V: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+def svd_flip(V: np.ndarray, U: np.ndarray) -> np.ndarray:
     """Sign-normalize rows of Vt using dominant entries of U's columns
-    (same convention as /root/reference/neural_admixture/src/svd.py:16-37)."""
-    idx = jnp.argmax(jnp.abs(U), axis=0)
-    signs = jnp.sign(U[idx, jnp.arange(U.shape[1])])
+    (same convention as /root/reference/neural_admixture/src/svd.py:16-37).
+
+    Pure numpy, like the small host QR/SVD calls around it: the fixup is
+    microseconds of work, and a jnp version would round-trip the (k', M)
+    matrix to the device and trigger a per-dataset-shape XLA compile
+    (minutes on tunneled backends)."""
+    U = np.asarray(U)
+    V = np.asarray(V)
+    idx = np.argmax(np.abs(U), axis=0)
+    signs = np.sign(U[idx, np.arange(U.shape[1])])
     return V * signs[:, None]
 
 
@@ -127,7 +134,16 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     if stream:
         packed = np.asarray(packed[:n_local])
     else:
-        packed = _pad_rows(jnp.asarray(packed[:n_local]), n_pad)
+        # Pad on HOST, one device transfer: a device-side concat keeps the
+        # unpadded copy live while allocating the padded one -- a ~2x HBM
+        # transient the auto-stream estimate above does not budget for
+        # (near-capacity matrices would OOM instead of streaming).
+        src = np.asarray(packed[:n_local])
+        if n_pad != n_local:
+            src = np.concatenate(
+                [src, np.zeros((n_pad - n_local,) + src.shape[1:],
+                               src.dtype)], axis=0)
+        packed = jnp.asarray(src)
     distributed = rows is not None
 
     k_prime = max(k + oversampling, 20)
@@ -191,5 +207,5 @@ def rsvd(packed, N: int, M: int, k: int = 8, seed: int = 42,
     Q, _ = np.linalg.qr(Y, mode="reduced")
     B = Qt_A(Q)                                                 # (k', m_pad)
     Ut, _St, Vt = np.linalg.svd(B[:, :M], full_matrices=False)
-    Vt = np.asarray(svd_flip(jnp.asarray(Vt), jnp.asarray(Ut)))
+    Vt = svd_flip(Vt, Ut)
     return Vt[:k, :].astype(np.float32)

@@ -220,6 +220,27 @@ def test_pad_batch_for_tiling_adversarial():
     assert bm % 16 == 0 and pick_tb(bm // 2) >= 200
 
 
+def test_pad_batch_for_tiling_non8_cap_override(monkeypatch):
+    """An NA_TPU_TB_HEAVY override that is not a multiple of 8 must not
+    silently disable the padding search (candidates stride from the
+    largest multiple of 8 at or below the cap)."""
+    from neural_admixture_tpu.ops import fused
+    monkeypatch.setenv("NA_TPU_TB_HEAVY", "250")
+    b = fused.pad_batch_for_tiling(808, 8)
+    assert b > 808 and fused.pick_tb(b) >= 124, (b, fused.pick_tb(b))
+
+
+def test_indexed_path_rejects_oversized_sample_block():
+    """sample_block above the indexed batch-tile cap must fail with
+    guidance, not a Mosaic scoped-vmem compile error mid-step."""
+    import pytest
+
+    from neural_admixture_tpu.ops.fused_step import (INDEXED_TB_CAP,
+                                                     make_indexed_training_loss)
+    with pytest.raises(ValueError, match="sample_block"):
+        make_indexed_training_loss(["k3"], INDEXED_TB_CAP + 8)
+
+
 def test_pick_tb_warns_on_poor_tiling(caplog):
     import logging
 
