@@ -20,8 +20,38 @@ import sys
 import time
 from typing import List, Optional
 
-from .utils.logger import log, setup_logging
-from .utils.seeding import set_seed
+
+def _early_pin_threads() -> None:
+    """BLAS/OpenMP pools size themselves at ``import numpy`` -- which the
+    imports just below trigger -- so ``--threads`` must reach the
+    environment BEFORE them (setting OPENBLAS_NUM_THREADS after the pool
+    exists is ignored). Scans sys.argv directly; no-op when the flag is
+    absent. Best-effort: an embedding process that already imported numpy
+    (e.g. a sitecustomize) has sized its pools. Programmatic
+    ``main(argv)`` callers bypass sys.argv and get only the late
+    ``_pin_threads`` (kept for them and for the log line)."""
+    val = None
+    for i, tok in enumerate(sys.argv):
+        if tok == "--threads" and i + 1 < len(sys.argv):
+            val = sys.argv[i + 1]
+        elif tok.startswith("--threads="):
+            val = tok.split("=", 1)[1]
+    if val and val.isdigit():
+        _pin_threads(int(val))
+
+
+def _pin_threads(threads: int) -> None:
+    for var in ("NUMEXPR_MAX_THREADS", "NUMEXPR_NUM_THREADS",
+                "MKL_MAX_THREADS", "MKL_NUM_THREADS",
+                "OPENBLAS_MAX_THREADS", "OPENBLAS_NUM_THREADS",
+                "OMP_MAX_THREADS", "OMP_NUM_THREADS"):
+        os.environ[var] = str(threads)
+
+
+_early_pin_threads()
+
+from .utils.logger import log, setup_logging  # noqa: E402
+from .utils.seeding import set_seed  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -52,12 +82,23 @@ def _apply_yaml_defaults(parser: "_ConfigParser", argv: List[str]):
     """configargparse-style YAML config support: values in the YAML file
     become parser defaults (CLI flags still win), and required flags
     provided by the file are no longer demanded on the command line."""
+    # argparse (allow_abbrev default) accepts unambiguous abbreviations
+    # like '--conf'; the pre-scan must accept exactly the same spellings
+    # or the file would be swallowed by argparse yet its defaults ignored.
+    opts = [s for a in parser.config_actions for s in a.option_strings
+            if s.startswith("--")]
+
+    def _is_config_flag(tok: str) -> bool:
+        if not tok.startswith("--") or len(tok) < 3:
+            return False
+        return [o for o in opts if o.startswith(tok)] == ["--config"]
+
     cfg_path = None
     for i, tok in enumerate(argv):
-        if tok == "--config" and i + 1 < len(argv):
-            cfg_path = argv[i + 1]
-        elif tok.startswith("--config="):
-            cfg_path = tok.split("=", 1)[1]
+        head, _, tail = tok.partition("=")
+        if _is_config_flag(head):
+            cfg_path = tail if tail else (
+                argv[i + 1] if i + 1 < len(argv) else None)
     if not cfg_path:
         return
     import yaml
@@ -264,13 +305,6 @@ def _validate(mode: str, args: argparse.Namespace) -> None:
             log.info(f"    Running from K={args.min_k} to K={args.max_k}.")
         else:
             raise ValueError("Please provide either --k or both --min_k and --max_k.")
-
-
-def _pin_threads(threads: int) -> None:
-    for var in ("NUMEXPR_MAX_THREADS", "NUMEXPR_NUM_THREADS", "MKL_MAX_THREADS",
-                "MKL_NUM_THREADS", "OPENBLAS_MAX_THREADS", "OPENBLAS_NUM_THREADS",
-                "OMP_MAX_THREADS", "OMP_NUM_THREADS"):
-        os.environ[var] = str(threads)
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -45,10 +45,11 @@ def _load() -> Optional[ctypes.CDLL]:
         from .build import build
         try:
             _lib = _bind(ctypes.CDLL(str(build())))
-        except OSError:
-            # A shipped/stale .so built for another platform (e.g. a wheel
-            # prebuilt on a different OS/arch): rebuild for THIS host with
-            # the local toolchain before giving up.
+        except (OSError, AttributeError):
+            # A shipped/stale .so: either built for another platform
+            # (OSError on load) or loadable but predating a REQUIRED
+            # symbol (AttributeError in _bind). Rebuild for THIS host
+            # with the local toolchain before giving up.
             _lib = _bind(ctypes.CDLL(str(build(force=True))))
     except Exception:
         _lib = None

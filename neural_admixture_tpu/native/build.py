@@ -55,14 +55,22 @@ def build(force: bool = False, portable: bool = False) -> Path:
     cxx = sysconfig.get_config_var("CXX") or "g++"
     cxx = cxx.split()[0]
     res = None
+    # Compile to a per-process temp name and os.replace() it into place:
+    # concurrent first-use builds (e.g. the 2-process CLI tests on a fresh
+    # checkout) would otherwise race on the single output path and one
+    # process could dlopen a half-written .so.
+    import os
+    tmp = LIB.with_suffix(f".tmp{os.getpid()}.so")
     for march in ([""] if portable else _march_flags()):
         cmd = [cxx, "-O3", "-pthread", "-std=c++17", "-shared", "-fPIC",
-               str(SRC), "-o", str(LIB)]
+               str(SRC), "-o", str(tmp)]
         if march:
             cmd.insert(2, march)
         res = subprocess.run(cmd, capture_output=True)
         if res.returncode == 0:
+            os.replace(tmp, LIB)
             return LIB
+    tmp.unlink(missing_ok=True)
     raise RuntimeError(
         f"native build failed ({' '.join(cmd)}):\n"
         f"{res.stderr.decode(errors='replace')}")

@@ -88,9 +88,29 @@ def project_pca(packed, V: np.ndarray, N: int, block_rows: int = 4096,
     return _project_blocks(packed, Vt, block_rows)[:N]
 
 
+def pca_coords(packed, V: np.ndarray, N: int,
+               rows: Tuple[int, int] = None,
+               stream: bool = None) -> jnp.ndarray:
+    """Global (N, D) PCA coordinates (G/2) @ V^T, the projection
+    init_p_unsupervised clusters. Exposed so callers that reuse one
+    projection across several GMM seeds (--init_restarts) pay the
+    full-matrix pass ONCE: it depends only on (packed, V), never on the
+    restart seed. ``rows``: multi-host mode (local rows projected, tiny
+    coordinates all-gathered). ``stream``: see project_pca."""
+    if rows is not None:
+        from ..parallel.distributed import gather_ragged_rows
+        start, end = rows
+        X_local = np.asarray(project_pca(packed[:end - start], V,
+                                         end - start, stream=stream))
+        X_pca = jnp.asarray(gather_ragged_rows(X_local))
+        assert X_pca.shape[0] == N, (X_pca.shape, N)
+        return X_pca
+    return project_pca(packed, V, N, stream=stream)
+
+
 def init_p_unsupervised(packed, V: np.ndarray, N: int, M: int, ks: List[int],
                         seed: int, rows: Tuple[int, int] = None,
-                        stream: bool = None) -> np.ndarray:
+                        stream: bool = None, x_pca=None) -> np.ndarray:
     """GMM-based P init. Returns (sum(ks), M) float32, rows per K ascending.
 
     ``rows``: multi-host mode -- ``packed`` holds only this process's sample
@@ -99,16 +119,10 @@ def init_p_unsupervised(packed, V: np.ndarray, N: int, M: int, ks: List[int],
     (same key, same data) so the resulting P needs no broadcast.
 
     ``stream``: host-streaming PCA projection (see project_pca); None =
-    auto by size."""
-    if rows is not None:
-        from ..parallel.distributed import gather_ragged_rows
-        start, end = rows
-        X_local = np.asarray(project_pca(packed[:end - start], V,
-                                         end - start, stream=stream))
-        X_pca = jnp.asarray(gather_ragged_rows(X_local))
-        assert X_pca.shape[0] == N, (X_pca.shape, N)
-    else:
-        X_pca = project_pca(packed, V, N, stream=stream)
+    auto by size. ``x_pca``: precomputed pca_coords (seed-independent;
+    pass it when calling repeatedly with different seeds)."""
+    X_pca = pca_coords(packed, V, N, rows=rows,
+                       stream=stream) if x_pca is None else x_pca
     Vj = jnp.asarray(V, jnp.float32)  # (D, M)
     P_blocks = []
     for K in sorted(ks):

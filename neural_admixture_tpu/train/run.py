@@ -36,7 +36,10 @@ def _read_pops(pops_path):
         return None
     log.info("    Population file provided!")
     with open(pops_path, "r") as fb:
-        return [p.strip() for p in fb.readlines()]
+        # Skip blank lines, matching io.bed.read_bed_dims's .fam handling
+        # (a shared trailing newline would otherwise make the label count
+        # disagree with the sample count, or '' a phantom ancestry).
+        return [p.strip() for p in fb.readlines() if p.strip()]
 
 
 def _resolve_mesh_shape(args):
@@ -62,9 +65,17 @@ def main_train(args, t0: float) -> int:
 
     # Host-streaming (out-of-core) control, threaded through every phase
     # that would otherwise make the packed matrix device-resident (RSVD,
-    # PCA projection, training). None = auto by size.
-    stream_cli = {"auto": None, "0": False, "1": True}[
-        str(getattr(args, "stream", "auto") or "auto")]
+    # PCA projection, training). None = auto by size. YAML configs bypass
+    # argparse's choices check and may supply ints/bools (`stream: 0`,
+    # `stream: true`), so normalize robustly: a falsy 0 must mean
+    # FORCED-RESIDENT, not auto.
+    stream_raw = getattr(args, "stream", "auto")
+    stream_map = {"auto": None, None: None, "0": False, 0: False,
+                  False: False, "1": True, 1: True, True: True}
+    if stream_raw not in stream_map:
+        raise ValueError(f"--stream must be auto, 0, or 1; got "
+                         f"{stream_raw!r}")
+    stream_cli = stream_map[stream_raw]
     cfg = TrainConfig(
         epochs=int(args.epochs), batch_size=int(args.batch_size),
         learning_rate=float(args.learning_rate), seed=int(args.seed),
@@ -237,6 +248,14 @@ def main_train(args, t0: float) -> int:
 
         best = None
         base_ckpt = trainer.cfg.checkpoint_path
+        # The PCA projection depends only on (packed, V), not the restart
+        # seed: compute the full-matrix pass once and reuse it across
+        # restarts (R - 1 redundant out-of-core passes otherwise).
+        x_pca = None
+        if y_num is None and restarts > 1:
+            from .init import pca_coords
+            x_pca = pca_coords(packed, V, N, rows=host_rows,
+                               stream=stream_cli)
         for r in range(restarts):
             seed_r = int(args.seed) + r
             if restarts > 1 and is_master():
@@ -244,7 +263,7 @@ def main_train(args, t0: float) -> int:
             if y_num is None:
                 P_init = init_p_unsupervised(packed, V, N, M, ks, seed_r,
                                              rows=host_rows,
-                                             stream=stream_cli)
+                                             stream=stream_cli, x_pca=x_pca)
             trainer.cfg.seed = seed_r
             if base_ckpt and restarts > 1:
                 trainer.cfg.checkpoint_path = base_ckpt.replace(
@@ -262,6 +281,9 @@ def main_train(args, t0: float) -> int:
         for i, k in enumerate(sorted(ks)):
             if is_master():
                 suffix = "" if K is not None else f" for K={k}"
+                # ':2f' (not ':.2f') mirrors the reference's own format
+                # quirk verbatim (model/train.py:140,146) -- log-scraping
+                # parity beats prettiness here.
                 log.info(f"    Log-likelihood{suffix}: {lls[i]:2f}.")
 
         if is_master():
