@@ -312,6 +312,52 @@ def test_standard_mode_wide_samples(tmp_path, N):
     np.testing.assert_array_equal(r.read_block(7, 23).T, G[:, 7:23])
 
 
+def test_standard_mode_ignores_aux_track_bytes(tmp_path):
+    """8-bit vrtypes may flag phase/dosage tracks in their high bits; the
+    extra track bytes are appended INSIDE the record (covered by its
+    length). A hardcalls-only reader must decode the main genotype track
+    and skip the rest -- rewrite a fixture's records with high vrtype bits
+    + trailing junk bytes and require identical decodes from both the
+    pure and native paths."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno_mode16(N=33, M=60, seed=17)
+    path = str(tmp_path / "aux.pgen")
+    write_pgen_standard(path, G)  # idx_enc=4: 8-bit vrtypes, 1-byte lens
+    raw = bytearray(open(path, "rb").read())
+    M_, N_ = 60, 33
+    # header: 12 B; offsets: 1 block -> 8 B; index: 60 vrtypes + 60 lens
+    idx0 = 12 + 8
+    vrt = raw[idx0:idx0 + M_]
+    lens = raw[idx0 + M_:idx0 + 2 * M_]
+    rec0 = idx0 + 2 * M_
+    out = bytearray(raw[:rec0])
+    pos = rec0
+    new_vrt, new_lens = bytearray(), bytearray()
+    for v in range(M_):
+        rec = raw[pos:pos + lens[v]]
+        pos += lens[v]
+        extra = b"\xAB" * (v % 3)  # fake aux-track bytes
+        new_vrt.append(vrt[v] | 0x30)  # set high "track" bits
+        assert lens[v] + len(extra) < 256
+        new_lens.append(lens[v] + len(extra))
+        out += rec + extra
+    out[idx0:idx0 + M_] = new_vrt
+    out[idx0 + M_:idx0 + 2 * M_] = new_lens
+    aux_path = str(tmp_path / "aux2.pgen")
+    open(aux_path, "wb").write(bytes(out))
+
+    r = StandardPgen(aux_path)
+    np.testing.assert_array_equal(r.read_block(0, M_).T, G)
+    try:
+        from neural_admixture_tpu.native import bed_native
+        if bed_native.pgen_available():
+            r2 = StandardPgen(aux_path)
+            np.testing.assert_array_equal(r2.read_block(0, M_).T, G)
+    except ImportError:
+        pass
+
+
 def test_standard_mode_rejects_unknown_format(tmp_path):
     from neural_admixture_tpu.io.pgen_standard import StandardPgen
     path = tmp_path / "bad.pgen"
