@@ -9,9 +9,10 @@ design:
     instead of materializing the full (M, 2N) allele-code matrix the
     reference allocates;
   * without pgenlib, fixed-width storage modes are decoded by a pure-Python
-    reader (modes 0x01 and 0x02 below), and the compressed "standard" mode
-    0x10 -- what plink2 writes by default (difflist/LD/onebit records) --
-    by io.pgen_standard (see its verification-status note); other modes
+    reader (modes 0x01 and 0x02 below), and the compressed "standard" modes
+    0x10 / 0x11 -- what plink2 writes by default (difflist/LD/onebit
+    records; 0x11 keeps its index in a companion .pgi file) -- by
+    io.pgen_standard (see its verification-status note); other modes
     raise a clear install-pgenlib error;
   * ``read_pgen_packed`` streams variant blocks straight into the
     sample-major 2-bit packed device layout, giving PGEN the same
@@ -127,24 +128,24 @@ class _PgenlibPgen:
 def open_pgen(path: str):
     """Best available PGEN block reader: pgenlib if importable, else the
     pure-Python decoders (fixed-width modes 0x01/0x02, or the standard
-    compressed mode 0x10 via io.pgen_standard -- see its verification-status
-    note)."""
+    compressed modes 0x10/0x11 via io.pgen_standard -- see its
+    verification-status note)."""
     try:
         import pgenlib  # noqa: F401
         return _PgenlibPgen(path)
     except ImportError:
         with open(path, "rb") as fh:
             mode = fh.read(3)[2:]
-        if mode and mode[0] == 0x10:
+        if mode and mode[0] in (0x10, 0x11):
             from ..utils.logger import log, setup_logging
             from .pgen_standard import StandardPgen
             setup_logging()
             log.warning(
-                "    pgenlib is not installed; decoding this mode-0x10 PGEN "
-                "with the built-in reader (implemented from the public spec "
-                "draft; cross-validated against pgenlib only where it is "
-                "installed -- prefer `pip install pgenlib` for production, "
-                "see io/pgen_standard.py).")
+                "    pgenlib is not installed; decoding this mode-%#04x "
+                "PGEN with the built-in reader (implemented from the public "
+                "spec draft; cross-validated against pgenlib only where it "
+                "is installed -- prefer `pip install pgenlib` for "
+                "production, see io/pgen_standard.py).", mode[0])
             return StandardPgen(path)
         return _FixedWidthPgen(path)
 

@@ -161,13 +161,23 @@ double na_loglikelihood(const uint8_t* G, const double* P, const double* Q,
 
 }  // extern "C"
 
-// ---------------- PGEN standard-mode (0x10) record decoder ------------------
+// ------------- PGEN standard-mode (0x10/0x11) record decoder ----------------
 //
 // Hot inner loop of io/pgen_standard.py's pure-Python reader (same spec
 // model -- see that module's layout summary and VERIFICATION STATUS note;
-// the two implementations are pinned bit-identical by tests/test_pgen.py).
-// Sequential by necessity: LD-compressed records (vrtype & 7 in {1, 2})
+// the two implementations are pinned bit-identical by tests/test_pgen.py
+// and fuzz-pinned to agree on accept-vs-reject by tests/test_pgen_fuzz.py).
+// Sequential by necessity: LD-compressed records (vrtype & 7 in {2, 3})
 // patch the most recent non-LD variant's genotypes.
+//
+// vrtype & 7: 0 plain 2-bit; 1 onebit (header byte C: low value C >> 2,
+// second value (C >> 2) + (C & 3), then ceil(N/8) bitarray, then a
+// difflist of exceptions); 2 LD difflist; 3 inverted-LD difflist;
+// 4..7 difflist against the constant genotype (vrtype & 3). High vrtype
+// bits flag appended aux tracks (skipped); with no high bit set the main
+// track must consume the record exactly. Validation matches the Python
+// path: strictly increasing in-bounds difflist sample ids, bounds on
+// every read, rc < 0 on any violation (never crash).
 
 namespace {
 
@@ -223,8 +233,11 @@ int parse_difflist(const uint8_t* rec, int64_t len, int64_t* p, int64_t N,
             ids[g * 64 + i] = prev;
         }
     }
-    for (int64_t i = 0; i < L; ++i)
-        if (ids[i] < 0 || ids[i] >= N) return -2;
+    // Sample ids must be strictly increasing in [0, N) (spec; also what
+    // makes a misparse loud instead of silently corrupting genotypes).
+    if (ids[0] < 0 || ids[L - 1] >= N) return -2;
+    for (int64_t i = 1; i < L; ++i)
+        if (ids[i] <= ids[i - 1]) return -2;
     return 0;
 }
 
@@ -234,24 +247,26 @@ const uint8_t INV[4] = {2, 1, 0, 3};  // hom swap; het/missing fixed
 
 extern "C" {
 
-// Decode variant records [0, n_var) of a mode-0x10 PGEN.
+// Decode variant records [0, n_var) of a mode-0x10/0x11 PGEN.
 //   recs:     contiguous record bytes; record v at [rec_off[v], rec_off[v+1])
 //   vrtypes:  n_var vrtype bytes
 //   skip:     leading variants decoded only to rebuild the LD base state
 //   base:     (N,) caller-persisted LD-base genotypes; *base_valid in/out
 //   out:      (n_var - skip, N) uint8 genotypes, 3 = missing
-// Returns 0, or <0: -1 unsupported vrtype, -2 malformed record,
-// -3 LD record without a base.
-int64_t na_pgen_decode(const uint8_t* recs, const int64_t* rec_off,
-                       const uint8_t* vrtypes, int64_t n_var, int64_t skip,
-                       int64_t N, int64_t sid_bytes, uint8_t* base,
-                       int64_t* base_valid, uint8_t* out) {
+// Returns 0, or <0: -2 malformed record, -3 LD record without a base.
+// (The "2" suffix marks the spec-conformant vrtype model -- a stale
+// shared library predating it must fail symbol lookup, not decode.)
+int64_t na_pgen_decode2(const uint8_t* recs, const int64_t* rec_off,
+                        const uint8_t* vrtypes, int64_t n_var, int64_t skip,
+                        int64_t N, int64_t sid_bytes, uint8_t* base,
+                        int64_t* base_valid, uint8_t* out) {
     std::vector<uint8_t> scratch(static_cast<size_t>(N));
     std::vector<int64_t> ids(static_cast<size_t>(N));
     std::vector<uint8_t> vals(static_cast<size_t>(N));
     for (int64_t v = 0; v < n_var; ++v) {
         uint8_t* row = (v >= skip) ? out + (v - skip) * N : scratch.data();
-        const uint8_t t = vrtypes[v] & 7;
+        const uint8_t vt = vrtypes[v];
+        const uint8_t t = vt & 7;
         const uint8_t* rec = recs + rec_off[v];
         const int64_t len = rec_off[v + 1] - rec_off[v];
         int64_t p = 0, L = 0;
@@ -261,12 +276,27 @@ int64_t na_pgen_decode(const uint8_t* recs, const int64_t* rec_off,
                 if ((N + 3) / 4 > len) return -2;
                 for (int64_t i = 0; i < N; ++i)
                     row[i] = (rec[i >> 2] >> (2 * (i & 3))) & 3;
+                p = (N + 3) / 4;
                 break;
             }
-            case 1:
-            case 2: {
+            case 1: {  // onebit: value0 = C >> 2, value1 = value0 + (C & 3)
+                if (1 + (N + 7) / 8 > len) return -2;
+                const uint8_t lo = rec[0] >> 2, delta = rec[0] & 3;
+                if (lo + delta > 3) return -2;
+                const uint8_t hi = lo + delta;
+                for (int64_t i = 0; i < N; ++i)
+                    row[i] = (rec[1 + (i >> 3)] >> (i & 7)) & 1 ? hi : lo;
+                p = 1 + (N + 7) / 8;
+                rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
+                                    vals.data(), &L);
+                if (rc) return rc;
+                for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
+                break;
+            }
+            case 2:
+            case 3: {  // LD / inverted-LD difflist
                 if (!*base_valid) return -3;
-                if (t == 1) {
+                if (t == 2) {
                     std::memcpy(row, base, static_cast<size_t>(N));
                 } else {
                     for (int64_t i = 0; i < N; ++i) row[i] = INV[base[i]];
@@ -277,30 +307,19 @@ int64_t na_pgen_decode(const uint8_t* recs, const int64_t* rec_off,
                 for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
                 break;
             }
-            case 4: {
-                if (1 + (N + 7) / 8 > len) return -2;
-                const uint8_t a = rec[0] & 3, b = (rec[0] >> 2) & 3;
-                for (int64_t i = 0; i < N; ++i)
-                    row[i] = (rec[1 + (i >> 3)] >> (i & 7)) & 1 ? b : a;
-                p = 1 + (N + 7) / 8;
+            default: {  // 4..7: difflist against the constant (vt & 3)
+                std::memset(row, t & 3, static_cast<size_t>(N));
                 rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
                                     vals.data(), &L);
                 if (rc) return rc;
                 for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
                 break;
             }
-            case 5: {
-                std::memset(row, 0, static_cast<size_t>(N));
-                rc = parse_difflist(rec, len, &p, N, sid_bytes, ids.data(),
-                                    vals.data(), &L);
-                if (rc) return rc;
-                for (int64_t i = 0; i < L; ++i) row[ids[i]] = vals[i];
-                break;
-            }
-            default:
-                return -1;
         }
-        if (t != 1 && t != 2) {
+        // No aux-track bits -> the main track must consume the record
+        // exactly (leftover bytes mean a misparse, not padding).
+        if (!(vt & 0xF8) && p != len) return -2;
+        if ((t & 6) != 2) {
             std::memcpy(base, row, static_cast<size_t>(N));
             *base_valid = 1;
         }

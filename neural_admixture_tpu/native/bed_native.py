@@ -24,12 +24,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                      ctypes.c_double]
     lib.na_loglikelihood.restype = ctypes.c_double
     try:
-        # Optional: a stale shipped .so predating the PGEN decoder must
-        # not disable the other kernels.
+        # Optional: a stale shipped .so predating the (spec-conformant v2)
+        # PGEN decoder must not disable the other kernels -- and must not
+        # be used for PGEN decoding either, hence the versioned symbol.
         _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
-        lib.na_pgen_decode.argtypes = [_u8p, _i64p, _u8p, _i64, _i64, _i64,
-                                       _i64, _u8p, _i64p, _u8p]
-        lib.na_pgen_decode.restype = _i64
+        lib.na_pgen_decode2.argtypes = [_u8p, _i64p, _u8p, _i64, _i64, _i64,
+                                        _i64, _u8p, _i64p, _u8p]
+        lib.na_pgen_decode2.restype = _i64
         lib._has_pgen = True
     except AttributeError:
         lib._has_pgen = False
@@ -114,7 +115,7 @@ def pgen_available() -> bool:
 def pgen_decode(recs: np.ndarray, rec_off: np.ndarray, vrtypes: np.ndarray,
                 skip: int, N: int, sid_bytes: int, base: np.ndarray,
                 base_valid: np.ndarray) -> np.ndarray:
-    """Decode mode-0x10 variant records (io.pgen_standard's hot loop).
+    """Decode mode-0x10/0x11 variant records (io.pgen_standard's hot loop).
 
     ``recs``: contiguous record bytes for len(vrtypes) variants, delimited
     by ``rec_off`` (len + 1 int64). The first ``skip`` variants only
@@ -127,11 +128,11 @@ def pgen_decode(recs: np.ndarray, rec_off: np.ndarray, vrtypes: np.ndarray,
     lib = _load()
     n_var = vrtypes.shape[0]
     out = np.empty((n_var - skip, N), dtype=np.uint8)
-    rc = lib.na_pgen_decode(
+    rc = lib.na_pgen_decode2(
         np.ascontiguousarray(recs, np.uint8),
         np.ascontiguousarray(rec_off, np.int64),
         np.ascontiguousarray(vrtypes, np.uint8),
         n_var, skip, N, sid_bytes, base, base_valid, out)
     if rc != 0:
-        raise ValueError(f"na_pgen_decode failed with code {rc}")
+        raise ValueError(f"na_pgen_decode2 failed with code {rc}")
     return out

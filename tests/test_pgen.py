@@ -156,15 +156,16 @@ def test_train_cli_on_pgen(tmp_path):
 def _geno_mode16(N=53, M=300, seed=5):
     """Genotypes engineered so the cheapest-representation writer picks
     every supported record type: dense-random (plain 0), mostly-hom-ref
-    (sparse 5), two-common-values (onebit 4), near-copies of the previous
-    variant (LD 1) and near-inverted copies (LD-inverted 2)."""
+    (difflist 4), mostly-hom-alt (difflist 6), mostly-missing (difflist
+    7), two-common-values (onebit 1), near-copies of the previous variant
+    (LD 2) and near-inverted copies (LD-inverted 3)."""
     rng = np.random.default_rng(seed)
     G = np.zeros((N, M), np.uint8)
     for v in range(M):
-        kind = v % 5
+        kind = v % 7
         if kind == 0:
             G[:, v] = rng.integers(0, 4, N)
-        elif kind == 1:  # sparse: a few non-ref
+        elif kind == 1:  # sparse vs hom-ref: a few non-ref
             idx = rng.choice(N, size=3, replace=False)
             G[idx, v] = rng.integers(1, 4, 3)
         elif kind == 2:  # onebit: two common values + rare exceptions
@@ -174,10 +175,18 @@ def _geno_mode16(N=53, M=300, seed=5):
             G[:, v] = G[:, v - 1]
             idx = rng.choice(N, size=2, replace=False)
             G[idx, v] = rng.integers(0, 4, 2)
-        else:  # inverted LD
+        elif kind == 4:  # inverted LD
             inv = np.array([2, 1, 0, 3], np.uint8)
             G[:, v] = inv[G[:, v - 1]]
             G[rng.choice(N, 2, replace=False), v] = rng.integers(0, 4, 2)
+        elif kind == 5:  # sparse vs hom-alt
+            G[:, v] = 2
+            idx = rng.choice(N, size=2, replace=False)
+            G[idx, v] = rng.integers(0, 2, 2)
+        else:  # sparse vs missing
+            G[:, v] = 3
+            idx = rng.choice(N, size=2, replace=False)
+            G[idx, v] = rng.integers(0, 3, 2)
     G[0, 0] = 0
     G[1, 1] = 2
     return G
@@ -192,8 +201,8 @@ def test_standard_mode_roundtrip(tmp_path, idx_enc):
     path = str(tmp_path / "std.pgen")
     vrtypes = write_pgen_standard(path, G, idx_enc=idx_enc)
     # the workload must actually exercise compressed representations
-    assert {0, 4, 5} <= set(vrtypes), sorted(set(vrtypes))
-    assert {1, 2} & set(vrtypes), sorted(set(vrtypes))
+    assert {0, 1, 4, 6, 7} <= set(vrtypes), sorted(set(vrtypes))
+    assert {2, 3} & set(vrtypes), sorted(set(vrtypes))
     np.testing.assert_array_equal(read_pgen(path), G)
 
 
@@ -221,7 +230,7 @@ def test_standard_mode_random_access(tmp_path):
     vrtypes = write_pgen_standard(path, G)
     r = StandardPgen(path)
     # pick a start that lands ON an LD-compressed variant
-    ld = [v for v in range(100, 200) if (vrtypes[v] & 7) in (1, 2)]
+    ld = [v for v in range(100, 200) if (vrtypes[v] & 7) in (2, 3)]
     v0 = ld[0]
     np.testing.assert_array_equal(r.read_block(v0, v0 + 40).T,
                                   G[:, v0:v0 + 40])
@@ -257,7 +266,7 @@ def test_standard_mode_packed_and_rows(tmp_path, monkeypatch):
 
 
 def test_standard_mode_native_matches_pure(tmp_path, monkeypatch):
-    """The C++ record decoder (native/bed_decode.cpp na_pgen_decode) must
+    """The C++ record decoder (native/bed_decode.cpp na_pgen_decode2) must
     be bit-identical to the pure-Python reference path, including LD-state
     reuse across sequential calls and random-access rewinds."""
     from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
@@ -306,7 +315,7 @@ def test_standard_mode_wide_samples(tmp_path, N):
             G[:, v] = rng.integers(0, 4, N)
     path = str(tmp_path / f"wide{N}.pgen")
     vrtypes = write_pgen_standard(path, G)
-    assert 5 in {t & 7 for t in vrtypes}
+    assert 4 in {t & 7 for t in vrtypes}
     r = StandardPgen(path)
     np.testing.assert_array_equal(r.read_block(0, M).T, G)
     np.testing.assert_array_equal(r.read_block(7, 23).T, G[:, 7:23])
@@ -359,15 +368,137 @@ def test_standard_mode_ignores_aux_track_bytes(tmp_path):
 
 
 def test_standard_mode_rejects_unknown_format(tmp_path):
+    """Storage codes 9-15 (fixed-width dosage layouts) are not supported
+    and must raise the install-pgenlib error, not misdecode."""
     from neural_admixture_tpu.io.pgen_standard import StandardPgen
     path = tmp_path / "bad.pgen"
     with open(path, "wb") as fh:
         fh.write(b"\x6c\x1b\x10")
         fh.write(np.asarray([1], "<u4").tobytes())
         fh.write(np.asarray([4], "<u4").tobytes())
-        fh.write(bytes([0x88]))  # unknown high bit set
+        fh.write(bytes([0x09]))  # storage code 9: fixed-width dosage
     with pytest.raises(NotImplementedError, match="pgenlib"):
         StandardPgen(str(path))
+
+
+def test_standard_mode_rejects_truncated_fixed(tmp_path):
+    """Storage code 8 (plain fixed-width) is supported, but a file whose
+    records run past EOF must fail loudly."""
+    from neural_admixture_tpu.io.pgen_standard import StandardPgen
+    path = tmp_path / "trunc.pgen"
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x10")
+        fh.write(np.asarray([1], "<u4").tobytes())
+        fh.write(np.asarray([4], "<u4").tobytes())
+        fh.write(bytes([0x88]))  # storage 8, nonref code 2 (no bitarray)
+    with pytest.raises(ValueError, match="truncated"):
+        StandardPgen(str(path))
+
+
+def test_standard_mode_fixed_width_storage8(tmp_path):
+    """Header storage code 8: every record is a plain 2-bit hardcall and
+    no offset array or per-block index exists."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno(N=17, M=90, seed=2)
+    path = str(tmp_path / "fixed.pgen")
+    vrtypes = write_pgen_standard(path, G, fixed_width=True)
+    assert set(vrtypes) == {0}
+    # 12-byte header + M * ceil(N/4) records and nothing else
+    assert (tmp_path / "fixed.pgen").stat().st_size == 12 + 90 * 5
+    r = StandardPgen(path)
+    assert (r.N, r.M) == G.shape
+    np.testing.assert_array_equal(r.read_block(0, r.M).T, G)
+    np.testing.assert_array_equal(read_pgen(path), G)
+
+
+@pytest.mark.parametrize("nonref_code,ac_bytes", [(1, 0), (2, 0), (3, 0),
+                                                  (0, 1), (3, 2)])
+def test_standard_mode_header_aux_fields(tmp_path, nonref_code, ac_bytes):
+    """The header control byte's bits 4-7: explicit allele counts and the
+    2-bit provisional-reference code. Codes 0/1/2 store NO nonref
+    bitarray (treating bit 6 alone as 'bitarray present' would corrupt
+    every record offset for code-1 files); code 3 stores ceil(bm/8)
+    bytes per block that the index parse must skip."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno_mode16(N=31, M=140, seed=21)
+    path = str(tmp_path / f"aux{nonref_code}{ac_bytes}.pgen")
+    write_pgen_standard(path, G, nonref_code=nonref_code,
+                        allele_ct_bytes=ac_bytes)
+    with open(path, "rb") as fh:
+        fmt = fh.read(12)[11]
+    assert (fmt >> 6) & 3 == nonref_code and (fmt >> 4) & 3 == ac_bytes
+    r = StandardPgen(path)
+    np.testing.assert_array_equal(r.read_block(0, r.M).T, G)
+
+
+def test_standard_mode_onebit_semantics(tmp_path):
+    """Handcrafted onebit record pinning the spec's header-byte encoding:
+    low common value = C >> 2, second value = (C >> 2) + (C & 3). A
+    decoder treating the two fields as independent genotype codes would
+    produce different (wrong) calls for this fixture."""
+    from neural_admixture_tpu.io.pgen_standard import StandardPgen
+    N, M = 5, 3
+    # record 0: onebit, C = (1 << 2) | 2 -> values {1, 3}; bitarray
+    # 0b00000101 -> samples 0 and 2 get 3; empty difflist.
+    rec0 = bytes([0x06, 0b00000101, 0x00])
+    # record 1: vrtype 6 = difflist vs all-hom-alt; empty difflist.
+    rec1 = bytes([0x00])
+    # record 2: vrtype 7 = difflist vs all-missing; empty difflist.
+    rec2 = bytes([0x00])
+    recs = [rec0, rec1, rec2]
+    vrtypes = bytes([1, 6, 7])
+    path = tmp_path / "onebit.pgen"
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x10")
+        fh.write(np.asarray([M], "<u4").tobytes())
+        fh.write(np.asarray([N], "<u4").tobytes())
+        fh.write(bytes([0x04]))  # 8-bit vrtypes, 1-byte lengths
+        rec_start = 12 + 8 + M + M
+        fh.write(np.asarray([rec_start], "<u8").tobytes())
+        fh.write(vrtypes)
+        fh.write(bytes([len(r) for r in recs]))
+        for r in recs:
+            fh.write(r)
+    r = StandardPgen(str(path))
+    got = r.read_block(0, M)
+    np.testing.assert_array_equal(got[0], [3, 1, 3, 1, 1])
+    np.testing.assert_array_equal(got[1], [2] * N)
+    np.testing.assert_array_equal(got[2], [3] * N)
+    # the native path (when built) must agree on the same fixture
+    try:
+        from neural_admixture_tpu.native import bed_native
+    except ImportError:
+        return
+    if bed_native.pgen_available():
+        np.testing.assert_array_equal(
+            StandardPgen(str(path))._read_block_native(bed_native, 0, M),
+            got)
+
+
+def test_standard_mode_0x11_separate_index(tmp_path):
+    """Mode 0x11: records-only .pgen plus a companion .pgi holding the
+    header/offsets/index. Decode must match mode 0x10 bit-exactly, and a
+    missing .pgi must fail with a clear error."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno_mode16(N=27, M=130, seed=23)
+    p10 = str(tmp_path / "m10.pgen")
+    p11 = str(tmp_path / "m11.pgen")
+    vr10 = write_pgen_standard(p10, G)
+    vr11 = write_pgen_standard(p11, G, mode=0x11)
+    assert vr10 == vr11
+    assert (tmp_path / "m11.pgen.pgi").exists()
+    r = StandardPgen(p11)
+    assert r.mode == 0x11 and (r.N, r.M) == G.shape
+    np.testing.assert_array_equal(r.read_block(0, r.M).T, G)
+    np.testing.assert_array_equal(r.read_block(40, 90).T, G[:, 40:90])
+    # routed through the generic opener too
+    np.testing.assert_array_equal(read_pgen(p11), G)
+    (tmp_path / "m11.pgen.pgi").unlink()
+    with pytest.raises(FileNotFoundError, match="pgi"):
+        StandardPgen(p11)
 
 
 def test_standard_mode_matches_pgenlib(tmp_path):
