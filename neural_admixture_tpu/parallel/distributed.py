@@ -47,17 +47,21 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     # A PARTIAL multi-process config must fail loudly, not fall through to
     # "single-process": every rank believing it is the master duplicates
     # the whole run and races on output writes.
-    pid_set = process_id is not None or os.environ.get("NA_TPU_PROCESS_ID")
-    if (env_coord or env_nproc > 1 or pid_set) \
-            and not (env_coord and env_nproc > 1):
+    env_pid = process_id if process_id is not None else \
+        (os.environ.get("NA_TPU_PROCESS_ID") or None)  # "" == unset
+    if (env_coord or env_nproc > 1 or env_pid is not None) \
+            and not (env_coord and env_nproc > 1 and env_pid is not None):
+        # Includes coordinator + num_processes WITHOUT a process id:
+        # defaulting it to 0 would make every rank process 0 and fail
+        # later at the coordinator (or hang) instead of here.
         raise ValueError(
             "Incomplete multi-process configuration: set ALL of "
             "NA_TPU_COORDINATOR, NA_TPU_NUM_PROCESSES (> 1), and "
             "NA_TPU_PROCESS_ID (or none of them). Got coordinator="
-            f"{env_coord!r}, num_processes={env_nproc}.")
+            f"{env_coord!r}, num_processes={env_nproc}, "
+            f"process_id={env_pid!r}.")
     if env_coord and env_nproc > 1:
-        pid = process_id if process_id is not None else \
-            int(os.environ.get("NA_TPU_PROCESS_ID", "0"))
+        pid = int(env_pid)
         if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
             # The CPU backend has no cross-process collectives by default;
             # gloo gives working psum/all_gather between host processes

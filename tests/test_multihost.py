@@ -101,6 +101,13 @@ def test_partial_distributed_config_fails_loudly(monkeypatch):
     monkeypatch.setenv("NA_TPU_PROCESS_ID", "1")
     with pytest.raises(ValueError, match="Incomplete multi-process"):
         maybe_initialize_distributed()
+    # coordinator + num_processes WITHOUT a process id: defaulting the
+    # rank to 0 would duplicate the master on every host -- must raise.
+    monkeypatch.delenv("NA_TPU_PROCESS_ID")
+    monkeypatch.setenv("NA_TPU_COORDINATOR", "127.0.0.1:1")
+    monkeypatch.setenv("NA_TPU_NUM_PROCESSES", "2")
+    with pytest.raises(ValueError, match="Incomplete multi-process"):
+        maybe_initialize_distributed()
 
 
 def test_two_process_training_matches_single_process(tmp_path):
