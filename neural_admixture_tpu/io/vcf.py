@@ -158,3 +158,109 @@ def read_vcf_packed(path: str, lane_multiple: int = 2048
     if mean >= 1:
         packed = rezero_flip_padding(flip_packed_minor_allele(packed), M)
     return packed, n_samples, M
+
+
+def vcf_dims(path: str) -> Tuple[int, int]:
+    """(n_samples, n_variants) of a VCF without parsing genotypes.
+
+    One cheap pass: N from the #CHROM header's column count, M from the
+    number of non-empty data lines (no field splitting)."""
+    n_samples, M = None, 0
+    with _open(path) as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                header = line.rstrip("\r\n").split("\t")
+                if len(header) < 10:
+                    raise ValueError("VCF has no sample columns")
+                n_samples = len(header) - 9
+                continue
+            if n_samples is None and line.strip():
+                raise ValueError("VCF data before #CHROM header")
+            if line.strip():
+                M += 1
+    if n_samples is None:
+        raise ValueError("Not a VCF file (no #CHROM header)")
+    return n_samples, M
+
+
+def read_vcf_packed_rows(path: str, start: int, end: int,
+                         lane_multiple: int = 2048
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse only sample COLUMNS [start, end) into the packed row layout.
+
+    VCF multi-host input path, mirroring io.bed.read_bed_packed_rows /
+    io.pgen.read_pgen_packed_rows: no validation or minor-allele flip
+    (both need global counts); returns (packed_rows, local_code_counts).
+    Samples are columns in a VCF, so each host makes one streaming pass
+    and parses genotype fields only inside its own column slice -- the
+    reference instead reads the whole matrix once on the host before
+    mp.spawn (/root/reference/neural_admixture/entry.py:181-190), which
+    is untenable at biobank scale.
+    """
+    from .bed import packed_code_counts
+    from .packed import packed_width
+
+    n_samples = None
+    n_local = end - start
+    chunks: List[np.ndarray] = []
+    block: List[List[int]] = []
+    M = 0
+
+    def _flush():
+        nonlocal block
+        if not block:
+            return
+        gb = np.asarray(block, dtype=np.uint8).T  # (n_local, vb)
+        assert gb.max(initial=0) <= 3, (
+            "Only biallelic SNPs are supported. Please make sure "
+            "multiallelic sites have been removed.")
+        vb4 = -(-gb.shape[1] // 4) * 4
+        if vb4 != gb.shape[1]:
+            gb = np.concatenate(
+                [gb, np.zeros((gb.shape[0], vb4 - gb.shape[1]), np.uint8)],
+                axis=1)
+        g4 = gb.reshape(gb.shape[0], vb4 // 4, 4)
+        chunks.append(np.ascontiguousarray(
+            g4[:, :, 0] | (g4[:, :, 1] << 2)
+            | (g4[:, :, 2] << 4) | (g4[:, :, 3] << 6)))
+        block = []
+
+    with _open(path) as f:
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#CHROM"):
+                header = line.rstrip("\r\n").split("\t")
+                if len(header) < 10:
+                    raise ValueError("VCF has no sample columns")
+                n_samples = len(header) - 9
+                assert 0 <= start <= end <= n_samples, \
+                    (start, end, n_samples)
+                continue
+            if not line.strip():
+                continue
+            if n_samples is None:
+                raise ValueError("VCF data before #CHROM header")
+            fields = line.rstrip("\r\n").split("\t")
+            if len(fields) - 9 != n_samples:
+                raise ValueError(
+                    f"VCF row has {len(fields) - 9} samples, "
+                    f"expected {n_samples}")
+            block.append([_gt_dosage(s)
+                          for s in fields[9 + start:9 + end]])
+            M += 1
+            if len(block) == _PACK_BLOCK:
+                _flush()
+    if n_samples is None:
+        raise ValueError("Not a VCF file (no #CHROM header)")
+    _flush()
+    m_pad = ((M + lane_multiple - 1) // lane_multiple) * lane_multiple
+    packed = np.zeros((n_local, packed_width(m_pad)), np.uint8)
+    w = 0
+    while chunks:
+        c = chunks.pop(0)
+        packed[:, w:w + c.shape[1]] = c
+        w += c.shape[1]
+    return packed, packed_code_counts(packed, M)

@@ -103,10 +103,12 @@ def main_train(args, t0: float) -> int:
         # read only this host's row block (BED/PGEN).
         import jax
         suffixes = Path(args.data_path).suffixes
-        # Formats that stream straight into the 2-bit packed layout; BED and
-        # PGEN additionally support per-host ROW-BLOCK reads (multi-process).
-        row_sliceable = ".bed" in suffixes or ".pgen" in suffixes
-        packed_native = row_sliceable or ".vcf" in suffixes
+        # Formats that stream straight into the 2-bit packed layout; all
+        # three also support per-host ROW-BLOCK reads (multi-process) --
+        # VCF stores samples as columns, so each host makes one streaming
+        # pass parsing only its own column slice.
+        packed_native = (".bed" in suffixes or ".pgen" in suffixes
+                         or ".vcf" in suffixes)
         # FIRST backend contact (is_master -> jax.process_index dials the
         # runtime): remote TPU backends can take minutes, which otherwise
         # looks like a silent hang -- log before touching it, and only
@@ -118,9 +120,9 @@ def main_train(args, t0: float) -> int:
         trainer = NeuralAdmixtureTrainer(cfg, master=is_master())
         data, host_rows = None, None
         if n_proc > 1:
-            assert row_sliceable, (
-                "Multi-process training requires BED or PGEN input (each "
-                "host reads only its sample rows; VCF is single-process).")
+            assert packed_native, (
+                "Multi-process training requires BED, PGEN, or VCF input "
+                "(each host reads only its sample rows).")
             from math import ceil
             from ..io.bed import (flip_packed_minor_allele,
                                   rezero_flip_padding)
@@ -130,11 +132,16 @@ def main_train(args, t0: float) -> int:
                 log.info("    Input format is BED.")
                 N, M = read_bed_dims(args.data_path)
                 read_rows = read_bed_packed_rows
-            else:
+            elif ".pgen" in suffixes:
                 from ..io.pgen import pgen_dims, read_pgen_packed_rows
                 log.info("    Input format is PGEN.")
                 N, M = pgen_dims(args.data_path)
                 read_rows = read_pgen_packed_rows
+            else:
+                from ..io.vcf import read_vcf_packed_rows, vcf_dims
+                log.info("    Input format is VCF.")
+                N, M = vcf_dims(args.data_path)
+                read_rows = read_vcf_packed_rows
             start, end, _ = trainer.sample_shard(ceil(M / 2048) * 2048, N)
             host_rows = (start, end)
             packed, counts_local = read_rows(args.data_path, start, end)

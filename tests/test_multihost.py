@@ -232,3 +232,43 @@ def test_two_process_block_sampling_snp_mesh(tmp_path):
     P2 = np.loadtxt(multi / f"mh.{K}.P")
     np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_vcf_input(tmp_path):
+    """Multi-host VCF ingestion: samples are COLUMNS in a VCF, so each
+    host makes one streaming pass parsing only its own column slice
+    (io.vcf.read_vcf_packed_rows) -- where the reference reads the whole
+    matrix on one host before mp.spawn (entry.py:181-190). The 2-process
+    run must reproduce the single-process run on the same VCF at the
+    standard multi-host tolerance (init accumulation order only)."""
+    rng = np.random.default_rng(31)
+    N, M = 90, 120
+    G = rng.integers(0, 3, size=(N, M)).astype(np.uint8)
+    G[:3, ::13] = 3  # missing rows concentrated in process 0's shard
+    vcf = tmp_path / "syn.vcf"
+    header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + \
+        "\t".join(f"S{i}" for i in range(N))
+    code = {0: "0/0", 1: "0/1", 2: "1/1", 3: "./."}
+    lines = ["##fileformat=VCFv4.2", header]
+    for v in range(M):
+        lines.append(f"1\t{v}\trs{v}\tA\tG\t50\tPASS\t.\tGT\t"
+                     + "\t".join(code[int(G[s, v])] for s in range(N)))
+    vcf.write_text("\n".join(lines) + "\n")
+
+    single, multi = tmp_path / "single", tmp_path / "multi"
+    outs = _spawn_pair(lambda: _cli(multi, "mh", data=vcf))
+    assert "Input format is VCF." in outs[1], outs[1][-2000:]
+    assert "this one holds rows [0, 45)" in outs[1], outs[1][-2000:]
+    assert "this one holds rows [45, 90)" in outs[0], outs[0][-2000:]
+    assert (multi / "mh.2.Q").exists()
+
+    ref = subprocess.run(_cli(single, "sp", data=vcf), env=_env({}),
+                         timeout=420, capture_output=True, text=True)
+    assert ref.returncode == 0, ref.stdout[-3000:] + ref.stderr[-2000:]
+
+    Q1 = np.loadtxt(single / f"sp.{K}.Q")
+    Q2 = np.loadtxt(multi / f"mh.{K}.Q")
+    P1 = np.loadtxt(single / f"sp.{K}.P")
+    P2 = np.loadtxt(multi / f"mh.{K}.P")
+    np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)

@@ -149,3 +149,47 @@ def test_read_vcf_crlf_missing_last_column(tmp_path):
     flipped = (2 - EXPECTED.astype(np.int16)).astype(np.uint8)
     flipped[EXPECTED == 3] = 3
     np.testing.assert_array_equal(unpack_2bit_rows(packed, m), flipped)
+
+
+def _write_vcf(path, G):
+    n, m = G.shape
+    header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + \
+        "\t".join(f"S{i}" for i in range(n))
+    lines = ["##fileformat=VCFv4.2", header]
+    code = {0: "0/0", 1: "0/1", 2: "1/1", 3: "./."}
+    for v in range(m):
+        lines.append(f"1\t{v}\trs{v}\tA\tG\t50\tPASS\t.\tGT\t"
+                     + "\t".join(code[int(G[s, v])] for s in range(n)))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_vcf_dims_and_packed_rows(tmp_path):
+    """The multi-host column-slice read equals the full read's row slice
+    (pre-flip), and the local code counts cover exactly those rows --
+    the same contract as read_bed_packed_rows / read_pgen_packed_rows."""
+    from neural_admixture_tpu.io import vcf as vcf_mod
+    from neural_admixture_tpu.io.packed import pack_with_padding
+    from neural_admixture_tpu.io.vcf import read_vcf_packed_rows, vcf_dims
+
+    rng = np.random.default_rng(4)
+    n, m = 23, 170
+    G = rng.integers(0, 3, size=(n, m)).astype(np.uint8)
+    G[rng.uniform(size=G.shape) < 0.04] = 3
+    p = tmp_path / "rows.vcf"
+    _write_vcf(p, G)
+
+    assert vcf_dims(str(p)) == (n, m)
+    old = vcf_mod._PACK_BLOCK
+    vcf_mod._PACK_BLOCK = 16  # multiple flush boundaries
+    try:
+        start, end = 7, 18
+        packed_rows, counts = read_vcf_packed_rows(str(p), start, end)
+        empty, empty_counts = read_vcf_packed_rows(str(p), n, n)
+    finally:
+        vcf_mod._PACK_BLOCK = old
+    expected, _ = pack_with_padding(G[start:end])
+    np.testing.assert_array_equal(packed_rows, expected)
+    np.testing.assert_array_equal(
+        counts, np.bincount(G[start:end].ravel(), minlength=4))
+    # an all-padding tail host reads an empty block cleanly
+    assert empty.shape[0] == 0 and empty_counts.sum() == 0
