@@ -844,17 +844,87 @@ class NeuralAdmixtureTrainer:
           host_rows: this process's sample-row block in a multi-process run
             (from host_sample_shard(N, data_axis_size)); None single-process.
         """
+        import os
         cfg = self.cfg
         use_pallas = _use_pallas(cfg)
         packed_np = np.asarray(packed)
         m_pad = packed_np.shape[1] * 4
-        col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
 
         mesh = self._pick_mesh(m_pad, use_pallas)
         self._mesh_shape = (tuple(int(s) for s in mesh.devices.shape)
                             if mesh is not None else (1, 1))
         n_proc = jax.process_count()
+        blk = max(1, cfg.sample_block)
+        emul = os.environ.get("NA_TPU_EMULATE_PROC_SHARDS")
 
+        # Phase 1: resident layout (planar relayout + block pre-shuffle).
+        data_host, col_mask_np = self._resident_layout(
+            packed_np, m_pad, M, N, use_pallas, mesh, n_proc, blk, emul)
+        # Phase 2: pad rows / per-process blocks to the resident extent.
+        data_host, resident_rows = self._assemble_row_blocks(
+            data_host, N, mesh, n_proc, blk, use_pallas, host_rows)
+        # Phase 3: HBM capacity policy (resident vs host-streamed) and the
+        # host-partition-stratified sampling decision.
+        stream, stratified = self._capacity_policy(
+            data_host, m_pad, mesh, n_proc, blk, use_pallas, emul,
+            resident_rows)
+        # Phase 4: device placement (or host residency when streaming).
+        data_dev, col_mask = self._place_data(
+            data_host, col_mask_np, mesh, n_proc, resident_rows, stream,
+            use_pallas)
+
+        # Phase 5: model/optimizer state, labels, and the epoch programs.
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_init = jax.random.split(key)
+        params, opt_state, tx = self._init_state(k_init, V, P_init, m_pad,
+                                                 mesh, use_pallas)
+        supervised = pops is not None
+        self._supervised = supervised  # resume-compat guard (_ckpt_meta)
+        pops_arr = self._prepare_pops(pops, N, stream, mesh, n_proc,
+                                      supervised)
+        fns = self._epoch_fns(tx, N, mesh, params, blk, resident_rows,
+                              stream, stratified, supervised, use_pallas,
+                              packed_np, n_proc)
+
+        # Phase 6: the epoch loop (resume, SIGTERM checkpointing, grouped
+        # log-period dispatch, profiler trace, throughput log).
+        params, opt_state, key = self._run_epochs(
+            fns, params, opt_state, key, data_dev, col_mask, pops_arr, N,
+            n_proc)
+
+        # Finalize: full-data Q pass, then restore original sample and SNP
+        # order in every host-visible artifact.
+        Qs = self._infer_q(params, data_dev, N, planar=use_pallas, mesh=mesh)
+        if self._row_order is not None:
+            # Resident rows were pre-shuffled for block sampling; restore
+            # the input sample order in every host-visible Q.
+            Qs = [self._unshuffle_rows(q) for q in Qs]
+
+        if self.master:
+            log.info("")
+            log.info("    Training finished!")
+            log.info("")
+
+        # Restore original SNP order for all host-visible artifacts, and
+        # bring the trained parameters to host numpy (an all-gather joined
+        # by every process when leaves are sharded across hosts).
+        if use_pallas:
+            params = self._permute_params(params, self._inv_perm)
+        from ..parallel.distributed import to_host
+        params = jax.tree.map(to_host, params)
+        self.display_divergences(params, M)
+        Ps = [np.asarray(params["decoders"][f"k{k}"]).T[:M].astype(np.float32)
+              for k in self.ks]
+        return Qs, Ps, params
+
+    def _resident_layout(self, packed_np, m_pad: int, M: int, N: int,
+                         use_pallas: bool, mesh, n_proc: int, blk: int,
+                         emul) -> Tuple[np.ndarray, np.ndarray]:
+        """Phase 1: the resident genotype layout. Planar SNP relayout for
+        the fused kernels (self._perm) and the one-time block-sampling row
+        pre-shuffle (self._row_order); returns (data_host, col_mask_np)."""
+        cfg = self.cfg
+        col_mask_np = (np.arange(m_pad) < M).astype(np.float32)
         self._perm = None
         if use_pallas:
             assert m_pad % pk.PLANAR_TILE == 0, \
@@ -867,10 +937,7 @@ class NeuralAdmixtureTrainer:
         else:
             data_host = packed_np
 
-        import os
-        blk = max(1, cfg.sample_block)
         self._row_order = None
-        emul = os.environ.get("NA_TPU_EMULATE_PROC_SHARDS")
         if blk > 1 and (n_proc > 1 or emul):
             # Multi-process block sampling: per-process pre-shuffle of the
             # LOCAL row block (see shard_row_order); the seeded global
@@ -913,7 +980,16 @@ class NeuralAdmixtureTrainer:
             # family/population-sorted).
             self._row_order = np.random.default_rng(cfg.seed).permutation(N)
             data_host = np.ascontiguousarray(data_host[self._row_order])
+        return data_host, col_mask_np
 
+    def _assemble_row_blocks(self, data_host, N: int, mesh, n_proc: int,
+                             blk: int, use_pallas: bool, host_rows
+                             ) -> Tuple[np.ndarray, int]:
+        """Phase 2: pad the local rows (and, multi-process, the per-process
+        blocks) to the exact resident extent the epoch fn samples; returns
+        (data_host, resident_rows) where resident_rows is the GLOBAL row
+        count of the assembled resident array."""
+        cfg = self.cfg
         if n_proc > 1:
             # Multi-process: ``data_host`` is this process's row block; pad
             # it to the even per-process extent and assemble the global
@@ -961,8 +1037,17 @@ class NeuralAdmixtureTrainer:
             n_rows_global = data_host.shape[0]
         # The epoch fn samples the GLOBAL resident array (local rows are
         # only this process's shard of it).
-        resident_rows = (n_rows_global if n_proc > 1
-                         else data_host.shape[0])
+        return data_host, (n_rows_global if n_proc > 1
+                           else data_host.shape[0])
+
+    def _capacity_policy(self, data_host, m_pad: int, mesh, n_proc: int,
+                         blk: int, use_pallas: bool, emul,
+                         resident_rows: int) -> Tuple[bool, int]:
+        """Phase 3: the HBM capacity policy -- resident vs host-streamed
+        training (sets self._streamed) -- and the host-partition-stratified
+        sampling decision; returns (stream, stratified)."""
+        import os
+        cfg = self.cfg
         # Pre-flight HBM estimate: resident packed genotypes + SNP-plane
         # training state per chip. An allocator OOM here is opaque; warn
         # with the actionable fix (a bigger mesh) instead. Capacity
@@ -1027,6 +1112,16 @@ class NeuralAdmixtureTrainer:
                 f"likely OOM. Use --mesh DxS over more chips (packed data "
                 f"and SNP-plane state shard across both axes), or --stream 1 "
                 f"(single-device out-of-core).")
+        if stratified:
+            assert resident_rows % stratified == 0, (resident_rows,
+                                                     stratified)
+        return stream, stratified
+
+    def _place_data(self, data_host, col_mask_np, mesh, n_proc: int,
+                    resident_rows: int, stream: bool, use_pallas: bool):
+        """Phase 4: tile-major relayout + device placement of the resident
+        genotypes and the planar column mask (the streaming path keeps the
+        data on host); returns (data_dev, col_mask)."""
         if use_pallas:
             # Tile-major device layout: (nT, N, 128) -- contiguous DMA blocks
             # in every fused kernel (see ops.fused_step). The streaming path
@@ -1047,9 +1142,9 @@ class NeuralAdmixtureTrainer:
                            else P(DATA_AXIS, SNP_AXIS))
             batch_sharding = NamedSharding(mesh, batch_pspec)
             if n_proc > 1:
-                gshape = ((data_host.shape[0], n_rows_global,
+                gshape = ((data_host.shape[0], resident_rows,
                            data_host.shape[2]) if use_pallas
-                          else (n_rows_global, data_host.shape[1]))
+                          else (resident_rows, data_host.shape[1]))
                 data_dev = jax.make_array_from_process_local_data(
                     batch_sharding, data_host, gshape)
             else:
@@ -1059,21 +1154,26 @@ class NeuralAdmixtureTrainer:
         else:
             data_dev = jnp.asarray(data_host)
             col_mask = jnp.asarray(col_mask_np)
+        return data_dev, col_mask
 
-        key = jax.random.PRNGKey(cfg.seed)
-        key, k_init = jax.random.split(key)
+    def _init_state(self, k_init, V, P_init, m_pad: int, mesh,
+                    use_pallas: bool):
+        """Phase 5a: parameter pytree (planar-permuted, mesh-sharded) and
+        Adam state; returns (params, opt_state, tx)."""
+        cfg = self.cfg
         params = qp.init_params(k_init, np.asarray(V).T, P_init,
                                 cfg.hidden_size, self.ks, m_pad=m_pad)
         if use_pallas:
             params = self._permute_params(params, self._perm)
         if mesh is not None:
             params = shard_params(params, mesh)
-
         tx = optax.adam(cfg.learning_rate, b1=0.9, b2=0.95, eps=1e-8)
-        opt_state = tx.init(params)
+        return params, tx.init(params), tx
 
-        supervised = pops is not None
-        self._supervised = supervised  # resume-compat guard (_ckpt_meta)
+    def _prepare_pops(self, pops, N: int, stream: bool, mesh, n_proc: int,
+                      supervised: bool):
+        """Phase 5b: population labels in resident row order (host-side
+        when streaming, replicated device array otherwise)."""
         pops_np = np.asarray(pops if supervised else np.zeros(N))
         if self._row_order is not None:
             pops_np = pops_np[self._row_order]
@@ -1087,6 +1187,18 @@ class NeuralAdmixtureTrainer:
                 from ..parallel.mesh import global_put
                 pops_arr = global_put(np.asarray(pops_arr),
                                       NamedSharding(mesh, P()))
+        return pops_arr
+
+    def _epoch_fns(self, tx, N: int, mesh, params, blk: int,
+                   resident_rows: int, stream: bool, stratified: int,
+                   supervised: bool, use_pallas: bool, packed_np,
+                   n_proc: int) -> Dict:
+        """Phase 5c: the jitted epoch programs -- per-epoch logged/fast
+        variants plus the grouped log-period dispatch variants -- and the
+        loop cadence knobs; returns {logged, fast, multi, multi_j,
+        log_every, e_group, j_periods}."""
+        import os
+        cfg = self.cfg
         # Trace-time specialization: when the host verified there are no
         # code-3 genotypes, the kernels skip the missing->0 select entirely
         # (~2 of ~6 VPU ops per genotype in the unpack).
@@ -1102,8 +1214,6 @@ class NeuralAdmixtureTrainer:
                 allsum_hosts(np.asarray([int(has_missing)]))[0] > 0)
         no_missing = use_pallas and not has_missing
         self._no_missing = no_missing
-        if stratified:
-            assert resident_rows % stratified == 0, (resident_rows, stratified)
         mk = partial(make_stream_epoch_fn if stream else make_epoch_fn,
                      tx, N, min(cfg.batch_size, N), supervised,
                      cfg.supervised_loss_weight, use_pallas=use_pallas,
@@ -1138,6 +1248,21 @@ class NeuralAdmixtureTrainer:
                                epochs_per_call=e_group * j_periods,
                                period_len=log_every)
                             if e_group and j_periods > 1 else None)
+        return {"logged": epoch_fn_logged, "fast": epoch_fn_fast,
+                "multi": epoch_fn_multi, "multi_j": epoch_fn_multi_j,
+                "log_every": log_every, "e_group": e_group,
+                "j_periods": j_periods}
+
+    def _run_epochs(self, fns: Dict, params, opt_state, key, data_dev,
+                    col_mask, pops_arr, N: int, n_proc: int):
+        """Phase 6: the epoch loop -- resume, SIGTERM-safe checkpointing,
+        grouped log-period dispatch, profiler trace, throughput log;
+        returns (params, opt_state, key)."""
+        cfg = self.cfg
+        epoch_fn_logged, epoch_fn_fast = fns["logged"], fns["fast"]
+        epoch_fn_multi, epoch_fn_multi_j = fns["multi"], fns["multi_j"]
+        log_every, e_group = fns["log_every"], fns["e_group"]
+        j_periods = fns["j_periods"]
 
         if self.master:
             log.info("")
@@ -1275,29 +1400,7 @@ class NeuralAdmixtureTrainer:
             sps = N * epochs_run / self.train_seconds
             log.info(f"    Training throughput: {sps:,.0f} samples/s "
                      f"({self.train_seconds:.2f}s for {epochs_run} epochs).")
-
-        Qs = self._infer_q(params, data_dev, N, planar=use_pallas, mesh=mesh)
-        if self._row_order is not None:
-            # Resident rows were pre-shuffled for block sampling; restore
-            # the input sample order in every host-visible Q.
-            Qs = [self._unshuffle_rows(q) for q in Qs]
-
-        if self.master:
-            log.info("")
-            log.info("    Training finished!")
-            log.info("")
-
-        # Restore original SNP order for all host-visible artifacts, and
-        # bring the trained parameters to host numpy (an all-gather joined
-        # by every process when leaves are sharded across hosts).
-        if use_pallas:
-            params = self._permute_params(params, self._inv_perm)
-        from ..parallel.distributed import to_host
-        params = jax.tree.map(to_host, params)
-        self.display_divergences(params, M)
-        Ps = [np.asarray(params["decoders"][f"k{k}"]).T[:M].astype(np.float32)
-              for k in self.ks]
-        return Qs, Ps, params
+        return params, opt_state, key
 
     def _ckpt_meta(self) -> Dict:
         """Hyperparameters that must match between save and resume: training
