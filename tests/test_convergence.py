@@ -30,7 +30,8 @@ from neural_admixture_tpu.ops.loglikelihood import loglikelihood_packed
 from neural_admixture_tpu.ops.rsvd import rsvd
 from neural_admixture_tpu.train.engine import (NeuralAdmixtureTrainer,
                                                TrainConfig)
-from neural_admixture_tpu.train.init import init_p_unsupervised
+from neural_admixture_tpu.train.init import (init_p_supervised_packed,
+                                             init_p_unsupervised)
 
 N, M, K, EPOCHS = 1500, 2000, 4, 60
 
@@ -79,3 +80,31 @@ def test_reaches_oracle_ll_within_epoch_budget():
     assert q_corr >= 0.97, (
         f"structure-recovery regression: mean matched Q correlation "
         f"{q_corr:.4f} < 0.97 (measured 0.9936 at epoch {EPOCHS})")
+
+
+def test_supervised_recovers_labels_at_production_weight():
+    """Supervised convergence gate (VERDICT r4 #6): the gate above is
+    unsupervised-only, so a regression in the CE term's weighting or the
+    supervised init would pass CI. Same synthetic oracle, labeled:
+    supervised P init (per-class dosage means) + the PRODUCTION CE weight
+    (100, the CLI default -- unlike test_supervised.py's unit test at an
+    artificial 10000) must align Q columns to the label indices WITHOUT
+    any permutation matching. Measured trajectory (CPU XLA, seed 12/42):
+    raw-argmax accuracy 0.970 at epoch 15, 0.977 at epoch 30 (the ceiling
+    is label noise: labels are argmaxes of genuinely admixed
+    Dirichlet(0.2) Qs, mean max Q 0.76). Gate: >= 0.94 at epoch 30 --
+    comfortably under measured headroom, far above a run whose CE
+    alignment is broken (raw accuracy ~ 1/K)."""
+    packed, Q_true, _ = synth_admixed(N, M, K, seed=12)
+    labels = Q_true.argmax(axis=1)
+    P_init = init_p_supervised_packed(packed, labels, K, M)
+    V = rsvd(packed, N, M, 8, 42)
+    cfg = TrainConfig(epochs=30, batch_size=400, seed=42, ks=[K],
+                      progress=False, sample_block=16, mesh_shape=(1, 1),
+                      supervised_loss_weight=100.0)
+    Qs, _, _ = NeuralAdmixtureTrainer(cfg).launch_training(
+        P_init, packed, V, M, N, pops=labels)
+    acc = float((np.asarray(Qs[0]).argmax(axis=1) == labels).mean())
+    assert acc >= 0.94, (
+        f"supervised-path regression: raw-argmax label accuracy "
+        f"{acc:.4f} < 0.94 (measured 0.977 at epoch 30)")
