@@ -789,20 +789,62 @@ def make_stream_epoch_fn(tx, N: int, batch_size: int, supervised: bool,
                 xb = np.take(packed_host, lrow, axis=s_ax)
             return xb, row_weight, pops_host[safe].astype(np.int32)
 
+        # Double-buffered host pipeline: batch t+1's host gather -- and,
+        # at level 2, its device_put staging copy -- runs on a worker
+        # thread while step t's device work proceeds (numpy slice copies
+        # and transfer staging release the GIL). Batch content and order
+        # are identical, so streamed == resident exactness is untouched
+        # (tests/test_stream.py pins all three levels).
+        # NA_TPU_STREAM_PREFETCH: 0 = serial, 1 = prefetch the gather
+        # (default), 2 = gather + device_put on the worker. Measured on
+        # the v5e tunnel (NA_BENCH_STREAM=1, 1M SNPs, two back-to-back
+        # paired sessions): level 1 beat serial by ~30% in BOTH pairs
+        # (175.8 -> 225.0 and 109.2 -> 142.6 samples/s) though absolute
+        # tunnel bandwidth drifted 60% between sessions; level 2
+        # measured WORSE than serial (126.9) -- early-enqueued transfers
+        # contend with the in-flight step's on the single tunnel
+        # channel. On a colocated host the gather/transfer balance
+        # differs; re-measure there before changing the default.
+        prefetch = int(os.environ.get("NA_TPU_STREAM_PREFETCH", "1") or 0)
+        all_idx = [idx_full[i] for i in range(nb - 1)] + [idx_rem]
+
+        def produce(idx_b):
+            xb, rw, pb = gather(idx_b)
+            if prefetch >= 2:
+                return put_batch(xb), put_rows(rw), put_rows(pb)
+            return xb, rw, pb
+
         losses = []
-        for i in range(nb - 1):
-            xb, rw, pb = gather(idx_full[i])
-            params, opt_state, loss = step_full(
-                params, opt_state, put_batch(xb), put_rows(rw),
-                col_mask, put_rows(pb))
-            losses.append(loss)
-        # The remainder batch carries the padding, so it masks (its own
-        # static width traces step_masked a second time, like the
-        # reference's short final DataLoader batch).
-        xb, rw, pb = gather(idx_rem)
-        params, opt_state, loss_rem = step_masked(
-            params, opt_state, put_batch(xb), put_rows(rw),
-            col_mask, put_rows(pb))
+        loss_rem = None
+
+        def consume(i, batch):
+            nonlocal params, opt_state, loss_rem
+            xb, rw, pb = batch
+            if prefetch < 2:
+                xb, rw, pb = put_batch(xb), put_rows(rw), put_rows(pb)
+            step = step_full if i < nb - 1 else step_masked
+            # The remainder batch carries the padding, so it masks (its
+            # own static width traces step_masked a second time, like the
+            # reference's short final DataLoader batch).
+            params, opt_state, loss = step(params, opt_state, xb, rw,
+                                           col_mask, pb)
+            if i < nb - 1:
+                losses.append(loss)
+            else:
+                loss_rem = loss
+
+        if prefetch:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(produce, all_idx[0])
+                for i in range(nb):
+                    batch = fut.result()
+                    if i + 1 < nb:
+                        fut = ex.submit(produce, all_idx[i + 1])
+                    consume(i, batch)
+        else:
+            for i in range(nb):
+                consume(i, produce(all_idx[i]))
         # Same reduction as the resident path: jnp.sum over the stacked
         # full-batch losses, then + the remainder's.
         loss_total = (jnp.sum(jnp.stack(losses)) if losses

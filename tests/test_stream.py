@@ -377,3 +377,28 @@ def test_hbm_capacity_env_validation(monkeypatch):
     monkeypatch.setenv("NA_TPU_HBM_CAPACITY_GB", "0")
     with pytest.raises(ValueError, match="NA_TPU_HBM_CAPACITY_GB"):
         hbm_capacity_bytes()
+
+
+@pytest.mark.parametrize("prefetch", ["0", "2"])
+def test_stream_prefetch_levels_match_resident(prefetch, monkeypatch):
+    """The double-buffer pipeline levels (0 = serial, 2 = gather +
+    device_put on the worker) deliver identical batches in identical
+    order, so exactness vs the resident epoch is level-independent (the
+    default level 1 is covered by every other streaming test)."""
+    monkeypatch.setenv("NA_TPU_STREAM_PREFETCH", prefetch)
+    tx, params, data_host, col_mask, n_rows = _setup(False, 8)
+    pops_host = np.zeros((N,), np.int32)
+    kw = dict(use_pallas=False, params_template=params,
+              sample_block=8, n_rows=n_rows)
+    resident = make_epoch_fn(tx, N, B, False, 0.0, **kw, compute_loss=True)
+    streamed = make_stream_epoch_fn(tx, N, B, False, 0.0, **kw,
+                                    compute_loss=True)
+    key = jax.random.PRNGKey(3)
+    p1, o1, l1 = resident(jax.tree.map(jnp.copy, params), tx.init(params),
+                          jnp.asarray(data_host), col_mask,
+                          jnp.asarray(pops_host), key)
+    p2, o2, l2 = streamed(jax.tree.map(jnp.copy, params), tx.init(params),
+                          data_host, col_mask, pops_host, key)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for k1, k2 in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
