@@ -53,7 +53,13 @@ _TB_WARNED = set()
 
 
 def _heavy_cap(n_heads: int) -> int:
-    default = 400 if n_heads <= 1 else 256
+    # Multi-head keeps the 400 cap as long as the per-head draw buffers fit
+    # the raised scoped-VMEM allowance (fused_step._heavy_vmem_limit caps at
+    # 100M; (n+1) buffers of 400*TM*4 = 3.28M each -> n <= 26 heads). The
+    # pre-round-5 256 cap assumed the 16M default allowance was a wall; it
+    # is a compiler default, and one call at tb=400 with the allowance
+    # raised measured +4.7% over tb=200 at 9 heads (PARITY round-5).
+    default = 400 if (n_heads + 1) * 400 * TM * 4 <= 90 << 20 else 256
     env = os.environ.get("NA_TPU_TB_HEAVY", "").strip()
     if env:
         try:
@@ -98,18 +104,23 @@ def pad_batch_for_tiling(B: int, align: int, n_heads: int = 1,
     return base
 
 
-def pick_tb(B: int, n_heads: int = 1) -> int:
+def pick_tb(B: int, n_heads: int = 1, cap: int = None) -> int:
     """Batch-tile cap for the HEAVY (draw-buffer) kernels (dq_dp / loss):
     largest divisor of B that is a multiple of 8 and <= the cap.
 
     Wider tiles cut the ~0.45 us/grid-step fixed cost but grow the in-VMEM
-    (tb, TM) draw/x buffers, which Mosaic stack-allocates against a 16M
-    scoped-vmem limit. Measured on v5e @1M SNPs, B=800 (interleaved
-    repeats, driver bench): single-head cap 400 = 110.3-113.7k samples/s
-    (masked and unmasked) vs cap 256 = 87.9-107.1k (+8-13%); cap 800
-    FAILS to compile (scoped vmem 20.05M > 16M). Multi-head grows ~1M of
-    scoped vmem per extra head at tb=400 (a 9-head K=2..10 sweep overflows
-    at 17.67M), so multi-head keeps the measured-safe 256 cap.
+    (tb, TM) draw/x buffers, which Mosaic stack-allocates against a
+    scoped-vmem allowance (16M by default; fused_step._heavy_vmem_limit
+    raises it per call when the (heads+1)*tb*TM*4 buffer estimate needs it
+    -- a compiler default, not hardware). Measured on v5e @1M SNPs, B=800
+    (interleaved repeats): single-head cap 400 = 110.3-113.7k samples/s
+    vs cap 256 = 87.9-107.1k (+8-13%); cap 800 measured SLOWER where it
+    compiles (9-head 19.3k vs 21.2k at cap 400) -- the 6.5M-per-buffer
+    tiles crowd out operand double-buffering. Multi-head ALSO caps at 400
+    (one call, shared unpack, raised allowance): 21.2k vs 20.2k samples/s
+    at 9 heads (+4.7%, PARITY round-5; the pre-round-5 256 cap treated
+    the 16M default as a wall). Beyond 26 heads the allowance cap (100M)
+    binds and the cap falls back to 256.
 
     NA_TPU_TB_HEAVY overrides both for A/B. The override is read at TRACE
     time: changing it mid-process has no effect on already-compiled
@@ -118,8 +129,14 @@ def pick_tb(B: int, n_heads: int = 1) -> int:
     A batch whose best tile is tiny (no large multiple-of-8 divisor, e.g.
     808 = 8 x 101 -> tb=8) pays ~cap/tb times the per-grid-step fixed
     cost; warns once per (B, cap) with the actionable fix (the engine
-    pads per-row batches via pad_batch_for_tiling automatically)."""
-    cap = _heavy_cap(n_heads)
+    pads per-row batches via pad_batch_for_tiling automatically).
+
+    ``cap``: explicit cap override (still subject to the NA_TPU_TB_HEAVY
+    env override) -- the head-grouped multi-head path passes the
+    single-head cap for groups small enough to fit it in scoped VMEM
+    (fused_step.head_group_plan)."""
+    if cap is None or os.environ.get("NA_TPU_TB_HEAVY", "").strip():
+        cap = _heavy_cap(n_heads)
     for tb in range(min(B, cap), 7, -1):
         if tb % 8 == 0 and B % tb == 0:
             if tb < cap // 4 and B > cap // 2 and (B, cap) not in _TB_WARNED:

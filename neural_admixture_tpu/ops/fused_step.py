@@ -43,6 +43,7 @@ of it the XLA copy itself (tools/tune_gather2.py); reading at the sampled
 offsets inside the kernels removes that copy entirely
 (tools/tune_gather3.py).
 """
+import os
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -52,8 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models import qp
-from .fused import (TM, TW, _dot_in, _draw_tile, _bce_terms, _interpret,
-                    _unpack_x, pick_tb, pick_tb_wide)
+from .fused import (TM, TW, _dot_in, _draw_tile, _bce_terms, _heavy_cap,
+                    _interpret, _unpack_x, pick_tb, pick_tb_wide)
 
 
 def _encoder_apply(enc_params, Xp, head_keys: List[str]):
@@ -310,6 +311,50 @@ def _p_specs(ks, order="bm"):
 
 INDEXED_TB_CAP = 256
 
+# A head group at or below this size tiles at the SINGLE-head cap (400):
+# the heavy kernels hold ~1M of scoped VMEM per head at tb=400 atop a
+# shared base, and 9 heads overflow the 16M limit at 17.67M (fused.pick_tb
+# measurements), so <=5 heads is the projected-safe fit. Validated by
+# compilation at trace time -- an overflow fails loudly, not silently.
+HEAD_GROUP_WIDE_HEADS = 5
+
+
+def head_group_plan(n_heads: int) -> List[int]:
+    """Trace-time head-group sizes for the heavy (draw-buffer) kernels.
+
+    Multi-head programs cap the heavy-kernel batch tile at 256 because
+    every head adds a (tb, TM)-scale draw buffer to scoped VMEM. Splitting
+    the heads into S groups runs one heavy pallas call per group: each
+    extra group re-reads the packed batch (+0.25 B/genotype of HBM) and
+    re-unpacks it (the shared-unpack amortization shrinks), but a group of
+    <= HEAD_GROUP_WIDE_HEADS heads tiles at the single-head cap 400 --
+    a ~1.56x wider tile on the VPU-bound draw chain (VERDICT r4 #7).
+
+    ``NA_TPU_HEAD_GROUPS=S`` (default 1 = one group, the status-quo
+    all-heads-one-call program) is read at TRACE time like
+    NA_TPU_TB_HEAVY. Returns contiguous balanced sizes over the sorted
+    head keys (9 heads, S=2 -> [5, 4]). Grouping changes only float
+    accumulation order (per-group loss partial sums; dp/loss tile extent
+    400 vs 256), never the math -- pinned by tests/test_head_groups.py.
+    """
+    env = os.environ.get("NA_TPU_HEAD_GROUPS", "").strip()
+    try:
+        s = int(env) if env else 1
+    except ValueError:
+        raise ValueError(
+            f"NA_TPU_HEAD_GROUPS must be an integer, got {env!r}") from None
+    s = max(1, min(s, n_heads))
+    base, extra = divmod(n_heads, s)
+    return [base + (1 if i < extra else 0) for i in range(s)]
+
+
+def _group_slices(sizes: List[int]) -> List[slice]:
+    out, i = [], 0
+    for s in sizes:
+        out.append(slice(i, i + s))
+        i += s
+    return out
+
 
 def pick_g(nbk: int, blk: int, cap: int = INDEXED_TB_CAP) -> int:
     """Sampled blocks DMA'd per grid step in indexed (gather-free) mode.
@@ -371,16 +416,47 @@ def _mask_specs(tb, order="bm"):
     ]
 
 
+def _heavy_vmem_limit(n_heads: int, tbe: int, g_ops: int):
+    """Scoped-VMEM allowance for a heavy (draw-buffer) kernel call.
+
+    Mosaic stack-allocates one (tbe, TM) f32 draw buffer per head plus the
+    unpacked x (g_ops concatenated blocks) against a DEFAULT 16M scoped-
+    vmem limit -- a compiler default, not hardware (v5e has 128M VMEM and
+    this op's block operands/outputs are <2M per grid step). Measured
+    anchor: a 4-head tb=400 call needs 16.41M, exactly (heads+1) * tbe *
+    TM * 4 + epsilon; the single-head tb=800 program that pick_tb's
+    docstring recorded as failing at 20.05M compiles and runs once the
+    allowance covers it. Returns None (use the default) when the estimate
+    has comfortable margin, else 2x the estimate + 4M, capped at 100M.
+    NA_TPU_VMEM_LIMIT_MB forces a specific allowance (0 = never raise).
+    """
+    env = os.environ.get("NA_TPU_VMEM_LIMIT_MB", "").strip()
+    if env:
+        try:
+            mb = int(env)
+        except ValueError:
+            raise ValueError(
+                f"NA_TPU_VMEM_LIMIT_MB must be an integer, got {env!r}"
+            ) from None
+        return mb << 20 if mb > 0 else None
+    est = (n_heads + g_ops) * tbe * TM * 4
+    if est <= 12 << 20:
+        return None
+    return min(2 * est + (4 << 20), 100 << 20)
+
+
 def _maybe_indexed_call(kernel, grid, in_specs, out_specs, out_shape,
-                        cost_estimate, blk_idx):
+                        cost_estimate, blk_idx, vmem_limit=None):
     """pallas_call dispatcher: plain grid, or scalar-prefetch with the
     (nbk,) block-id vector prepended as operand 0 (kernels take *refs or
     are wrapped, so the extra leading idx_ref is absorbed uniformly)."""
+    params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+              if vmem_limit else None)
     if blk_idx is None:
         return pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, cost_estimate=cost_estimate,
-            interpret=_interpret())
+            compiler_params=params, interpret=_interpret())
 
     def kernel_idx(idx_ref, *refs):
         return kernel(*refs)
@@ -390,7 +466,7 @@ def _maybe_indexed_call(kernel, grid, in_specs, out_specs, out_shape,
         out_specs=out_specs)
     call = pl.pallas_call(kernel_idx, grid_spec=spec, out_shape=out_shape,
                           cost_estimate=cost_estimate,
-                          interpret=_interpret())
+                          compiler_params=params, interpret=_interpret())
     return lambda *ops: call(blk_idx, *ops)
 
 
@@ -453,6 +529,7 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True,
             bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
         blk_idx=blk_idx,
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g),
     )(*operands)
     return out[0, 0]
 
@@ -486,6 +563,7 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True,
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         blk_idx=blk_idx,
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops),
     )(*operands)
     ks_n = len(ks)
     dqs = [o.transpose(0, 2, 1).reshape(B, k)
@@ -524,6 +602,7 @@ def _loss_dq_dp_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False,
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
         blk_idx=blk_idx,
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops),
     )(*operands)
     ks_n = len(ks)
     loss = outs[0][0, 0]
@@ -602,8 +681,19 @@ def make_fused_training_loss(head_keys: List[str],
     are bit-identical to the split program when the loss cotangent is 1.0
     (the engine's case); only the loss value's accumulation order changes
     (grid (nM, nB) instead of (nB, nM)). Do NOT use it for unlogged
-    epochs: its loss computation cannot be dead-code-eliminated."""
+    epochs: its loss computation cannot be dead-code-eliminated.
+
+    NA_TPU_HEAD_GROUPS=S splits multi-head heavy calls into S per-group
+    calls with wider batch tiles (head_group_plan)."""
     head_keys = sorted(head_keys)
+    grp = _group_slices(head_group_plan(len(head_keys)))
+
+    def _group_tb(B: int, sl: slice) -> int:
+        n = sl.stop - sl.start
+        if len(grp) == 1:
+            return pick_tb(B, n)
+        return pick_tb(B, n, cap=(_heavy_cap(1) if n <= HEAD_GROUP_WIDE_HEADS
+                                  else None))
 
     def _pack_masks(col_mask, row_w):
         return col_mask.reshape(1, -1), row_w.reshape(-1, 1)
@@ -615,17 +705,25 @@ def make_fused_training_loss(head_keys: List[str],
         return _encoder_apply(enc_params, Xp, head_keys), Xp
 
     def _forward(V, enc_params, Ps: Dict, u32, col_mask, row_w):
-        tb = pick_tb(u32.shape[1], len(head_keys))
+        B = u32.shape[1]
         qs, Xp = _encode(V, enc_params, u32)
         q_list = [qs[hk] for hk in head_keys]
         p_list = [Ps[hk] for hk in head_keys]
         cm2, rw2 = _pack_masks(col_mask, row_w)
         if merged_loss:
-            loss, dq_list, dp_list = _loss_dq_dp_call(
-                q_list, p_list, u32, cm2, rw2, tb, no_missing, masked)
+            loss, dq_list, dp_list = 0.0, [], []
+            for sl in grp:
+                l_g, dq_g, dp_g = _loss_dq_dp_call(
+                    q_list[sl], p_list[sl], u32, cm2, rw2, _group_tb(B, sl),
+                    no_missing, masked)
+                loss += l_g
+                dq_list += dq_g
+                dp_list += list(dp_g)
             return loss, qs, Xp, dq_list, dp_list
-        loss = _loss_call(q_list, p_list, u32, cm2, rw2, tb,
-                          no_missing, masked)
+        loss = 0.0
+        for sl in grp:
+            loss += _loss_call(q_list[sl], p_list[sl], u32, cm2, rw2,
+                               _group_tb(B, sl), no_missing, masked)
         return loss, qs, Xp, None, None
 
     @jax.custom_vjp
@@ -642,7 +740,7 @@ def make_fused_training_loss(head_keys: List[str],
     def bwd(res, cts):
         g_loss, g_qs = cts
         enc_params, Ps, u32, col_mask, row_w, Xp, dq_list, dp_list = res
-        tb = pick_tb(u32.shape[1], len(head_keys))
+        B = u32.shape[1]
 
         qs, enc_vjp = jax.vjp(
             lambda ep, xp: _encoder_apply(ep, xp, head_keys), enc_params, Xp)
@@ -651,8 +749,13 @@ def make_fused_training_loss(head_keys: List[str],
             cm2, rw2 = _pack_masks(col_mask, row_w)
             q_list = [qs[hk] for hk in head_keys]
             p_list = [Ps[hk] for hk in head_keys]
-            dq_list, dp_list = _dq_dp_call(q_list, p_list, u32, cm2, rw2,
-                                           g_loss, tb, no_missing, masked)
+            dq_list, dp_list = [], []
+            for sl in grp:
+                dq_g, dp_g = _dq_dp_call(q_list[sl], p_list[sl], u32, cm2,
+                                         rw2, g_loss, _group_tb(B, sl),
+                                         no_missing, masked)
+                dq_list += dq_g
+                dp_list += list(dp_g)
             dPs = {hk: dp_list[i] for i, hk in enumerate(head_keys)}
         else:
             dPs = {hk: dp_list[i] * g_loss

@@ -211,7 +211,7 @@ def test_pad_batch_for_tiling_adversarial():
     assert pad_batch_for_tiling(1000, 8) == 1000    # tb 200 already ok
     b = pad_batch_for_tiling(808, 8)
     assert b >= 808 and b % 8 == 0 and pick_tb(b) >= 200
-    b3 = pad_batch_for_tiling(808, 8, n_heads=3)    # multi-head cap 256
+    b3 = pad_batch_for_tiling(808, 8, n_heads=3)    # multi-head cap (400 since r5)
     assert b3 >= 808 and pick_tb(b3, 3) >= 128
     # alignment (e.g. 8 * d_sz on a mesh) is preserved
     assert pad_batch_for_tiling(808, 16) % 16 == 0
