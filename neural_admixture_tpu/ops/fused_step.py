@@ -77,7 +77,26 @@ def _unpack_cat(u_refs, no_missing, scale=True):
     return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=0)
 
 
-def _xv_kernel(no_missing, g_ops=1):
+def _unpack_m(u_refs, mi, no_missing, scale=True, m_ops=1):
+    """Unpack SNP slab ``mi`` of this grid step's packed block.
+
+    M-batched (m_ops > 1, gathered path only) steps DMA one
+    (m_ops, tb, TW) block -- m_ops consecutive planar tiles -- and the
+    kernel loops the per-tile math over the slabs, so the ~0.45 us fixed
+    cost per grid step is paid once per m_ops tiles instead of per tile
+    (pick_m). Indexed calls keep m_ops == 1 (their u_refs carry g_ops
+    scattered SAMPLE blocks instead; the two batchings are exclusive)."""
+    if m_ops > 1:
+        return _unpack_x(u_refs[0][mi], no_missing, scale)
+    return _unpack_cat(u_refs, no_missing, scale)
+
+
+def _msl(mi):
+    """Lane slice of SNP slab ``mi`` inside an m_ops-wide operand block."""
+    return slice(mi * TM, (mi + 1) * TM)
+
+
+def _xv_kernel(no_missing, g_ops=1, m_ops=1):
     """Xp^T = (X @ V)^T accumulated over M tiles, as (nB, D, tb) row blocks.
 
     Transposed output: a (tb, D) block with D=8 uses 8 of 128 lanes of every
@@ -102,14 +121,19 @@ def _xv_kernel(no_missing, g_ops=1):
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
-        x = _unpack_cat(u_refs, no_missing, scale=False)
-        out_ref[0] += jax.lax.dot_general(
-            _dot_in(vt_ref[:]), _dot_in(x), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = None
+        for mi in range(m_ops):
+            x = _unpack_m(u_refs, mi, no_missing, scale=False, m_ops=m_ops)
+            vt = vt_ref[:] if m_ops == 1 else vt_ref[:, _msl(mi)]
+            d = jax.lax.dot_general(
+                _dot_in(vt), _dot_in(x), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        out_ref[0] += acc
     return kernel
 
 
-def _loss_kernel(n_heads, no_missing, masked=True, g_ops=1):
+def _loss_kernel(n_heads, no_missing, masked=True, g_ops=1, m_ops=1):
     """``masked=False`` (all-real batches, see make_fused_training_loss)
     drops the cm/rw operands and the two mask multiplies per genotype."""
     def kernel(*refs):
@@ -118,34 +142,41 @@ def _loss_kernel(n_heads, no_missing, masked=True, g_ops=1):
         u_refs = refs[2 * n_heads:2 * n_heads + g_ops]
         if masked:
             cm_ref, rw_ref, out_ref = refs[2 * n_heads + g_ops:]
-            mask_rw = cm_ref[:] * rw_ref[:]
         else:
             out_ref, = refs[2 * n_heads + g_ops:]
-            mask_rw = None
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
         def _():
             out_ref[0, 0] = 0.0
 
-        x = _unpack_cat(u_refs, no_missing)
         total = 0.0
-        for q_ref, p_ref in zip(q_refs, p_refs):
-            _, _, elem = _bce_terms(q_ref[:], p_ref[:], x, mask_rw)
-            total += jnp.sum(elem)
+        for mi in range(m_ops):
+            x = _unpack_m(u_refs, mi, no_missing, m_ops=m_ops)
+            if masked:
+                cm = cm_ref[:] if m_ops == 1 else cm_ref[:, _msl(mi)]
+                mask_rw = cm * rw_ref[:]
+            else:
+                mask_rw = None
+            for q_ref, p_ref in zip(q_refs, p_refs):
+                p = p_ref[:] if m_ops == 1 else p_ref[:, _msl(mi)]
+                _, _, elem = _bce_terms(q_ref[:], p, x, mask_rw)
+                total += jnp.sum(elem)
         out_ref[0, 0] += total
     return kernel
 
 
-def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
+def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1, m_ops=1):
     """Merged pass 2: dq AND dp for all heads from ONE packed read.
 
     The expensive per-tile ``draw`` (decode matmul + BCE/clamp backward
     chain -- the dominant VPU cost) is computed once and feeds both
     reductions, where the split dq / dp+dv kernels each recomputed it.
-    Grid is (nM, nB) with the batch axis innermost so each (k, TM) dp
-    block accumulates in VMEM; each full (B, k) dq output has a constant
-    index map, so it is VMEM-resident for the whole kernel and its rows
-    accumulate across the outer M loop with no HBM revisit traffic.
+    Grid is (nM, nB) with the batch axis innermost so each (k, m_ops*TM)
+    dp block accumulates in VMEM; each full (B, k) dq output has a
+    constant index map, so it is VMEM-resident for the whole kernel and
+    its rows accumulate across the outer M loop with no HBM revisit
+    traffic. With m_ops > 1 the per-slab dq partials accumulate in
+    registers across the mi loop and hit VMEM once per grid step.
     """
     def kernel(*refs):
         q_refs = refs[:n_heads]
@@ -154,34 +185,55 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
         rest = refs[2 * n_heads + g_ops:]
         if masked:
             cm_ref, rw_ref, g_ref = rest[:3]
-            mask_rw = cm_ref[:] * rw_ref[:]
             dq_refs = rest[3:3 + n_heads]
             dp_refs = rest[3 + n_heads:]
         else:
             g_ref = rest[0]
-            mask_rw = None
             dq_refs = rest[1:1 + n_heads]
             dp_refs = rest[1 + n_heads:]
         j = pl.program_id(0)  # M tile (outer)
         i = pl.program_id(1)  # B tile (inner)
 
-        x = _unpack_cat(u_refs, no_missing)
         g = g_ref[0, 0]
-        for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
-                                                dp_refs):
-            q = q_ref[:]
-            tb = q.shape[0]
-            draw = _dot_in(_draw_tile(q, p_ref[:], x, mask_rw))
-            # dq transposed (k, tb): the small head dim on sublanes, batch
-            # on lanes -- a (tb, k<=few) result uses k of 128 lanes of every
-            # VMEM tile and store. The full (nB, k, tb) output is resident
-            # (constant index map) and accumulates over the outer M loop;
-            # only the leading (untiled) dim is indexed dynamically, which
-            # Mosaic lowers as a plain block offset.
-            dqt_blk = jax.lax.dot_general(
-                _dot_in(p_ref[:]), draw, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
+        for dp_ref in dp_refs:
+            @pl.when(i == 0)
+            def _(dp_ref=dp_ref):
+                dp_ref[:] = jnp.zeros_like(dp_ref)
+        dqt_acc = [None] * n_heads
+        for mi in range(m_ops):
+            x = _unpack_m(u_refs, mi, no_missing, m_ops=m_ops)
+            if masked:
+                cm = cm_ref[:] if m_ops == 1 else cm_ref[:, _msl(mi)]
+                mask_rw = cm * rw_ref[:]
+            else:
+                mask_rw = None
+            for h, (q_ref, p_ref, dp_ref) in enumerate(
+                    zip(q_refs, p_refs, dp_refs)):
+                q = q_ref[:]
+                p = p_ref[:] if m_ops == 1 else p_ref[:, _msl(mi)]
+                draw = _dot_in(_draw_tile(q, p, x, mask_rw))
+                # dq transposed (k, tb): the small head dim on sublanes,
+                # batch on lanes -- a (tb, k<=few) result uses k of 128
+                # lanes of every VMEM tile and store. The full (nB, k, tb)
+                # output is resident (constant index map) and accumulates
+                # over the outer M loop; only the leading (untiled) dim is
+                # indexed dynamically, which Mosaic lowers as a plain
+                # block offset.
+                dqt_blk = jax.lax.dot_general(
+                    _dot_in(p), draw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dqt_acc[h] = (dqt_blk if dqt_acc[h] is None
+                              else dqt_acc[h] + dqt_blk)
+                # dp wants g * q^T draw; scaling the tiny (tb, k) q is far
+                # cheaper than scaling the (tb, TM) draw.
+                dp_blk = jax.lax.dot_general(
+                    _dot_in(q * g), draw, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if m_ops == 1:
+                    dp_ref[:] += dp_blk
+                else:
+                    dp_ref[:, _msl(mi)] += dp_blk
+        for dq_ref, dqt_blk in zip(dq_refs, dqt_acc):
             @pl.when(j == 0)
             def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
                 dq_ref[i] = dqt_blk
@@ -189,19 +241,10 @@ def _dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
             @pl.when(j > 0)
             def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
                 dq_ref[i] += dqt_blk
-
-            @pl.when(i == 0)
-            def _(dp_ref=dp_ref):
-                dp_ref[:] = jnp.zeros_like(dp_ref)
-            # dp wants g * q^T draw; scaling the tiny (tb, k) q is far
-            # cheaper than scaling the (tb, TM) draw.
-            dp_ref[:] += jax.lax.dot_general(
-                _dot_in(q * g), draw, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
     return kernel
 
 
-def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
+def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1, m_ops=1):
     """Merged loss + dq + dp: the logged-epoch forward-with-gradients pass.
 
     On epochs whose loss is logged the engine needs the BCE value AND its
@@ -218,10 +261,7 @@ def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
         rest = refs[2 * n_heads + g_ops:]
         if masked:
             cm_ref, rw_ref = rest[:2]
-            mask_rw = cm_ref[:] * rw_ref[:]
             rest = rest[2:]
-        else:
-            mask_rw = None
         loss_ref = rest[0]
         dq_refs = rest[1:1 + n_heads]
         dp_refs = rest[1 + n_heads:]
@@ -232,18 +272,39 @@ def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
         def _():
             loss_ref[0, 0] = 0.0
 
-        x = _unpack_cat(u_refs, no_missing)
+        for dp_ref in dp_refs:
+            @pl.when(i == 0)
+            def _(dp_ref=dp_ref):
+                dp_ref[:] = jnp.zeros_like(dp_ref)
         total = 0.0
-        for q_ref, p_ref, dq_ref, dp_ref in zip(q_refs, p_refs, dq_refs,
-                                                dp_refs):
-            q = q_ref[:]
-            draw, elem = _draw_tile(q, p_ref[:], x, mask_rw, with_loss=True)
-            draw = _dot_in(draw)
-            total += jnp.sum(elem)
-            dqt_blk = jax.lax.dot_general(
-                _dot_in(p_ref[:]), draw, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
+        dqt_acc = [None] * n_heads
+        for mi in range(m_ops):
+            x = _unpack_m(u_refs, mi, no_missing, m_ops=m_ops)
+            if masked:
+                cm = cm_ref[:] if m_ops == 1 else cm_ref[:, _msl(mi)]
+                mask_rw = cm * rw_ref[:]
+            else:
+                mask_rw = None
+            for h, (q_ref, p_ref, dp_ref) in enumerate(
+                    zip(q_refs, p_refs, dp_refs)):
+                q = q_ref[:]
+                p = p_ref[:] if m_ops == 1 else p_ref[:, _msl(mi)]
+                draw, elem = _draw_tile(q, p, x, mask_rw, with_loss=True)
+                draw = _dot_in(draw)
+                total += jnp.sum(elem)
+                dqt_blk = jax.lax.dot_general(
+                    _dot_in(p), draw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dqt_acc[h] = (dqt_blk if dqt_acc[h] is None
+                              else dqt_acc[h] + dqt_blk)
+                dp_blk = jax.lax.dot_general(
+                    _dot_in(q), draw, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if m_ops == 1:
+                    dp_ref[:] += dp_blk
+                else:
+                    dp_ref[:, _msl(mi)] += dp_blk
+        for dq_ref, dqt_blk in zip(dq_refs, dqt_acc):
             @pl.when(j == 0)
             def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
                 dq_ref[i] = dqt_blk
@@ -251,18 +312,11 @@ def _loss_dq_dp_kernel(n_heads, no_missing, masked=True, g_ops=1):
             @pl.when(j > 0)
             def _(dq_ref=dq_ref, dqt_blk=dqt_blk):
                 dq_ref[i] += dqt_blk
-
-            @pl.when(i == 0)
-            def _(dp_ref=dp_ref):
-                dp_ref[:] = jnp.zeros_like(dp_ref)
-            dp_ref[:] += jax.lax.dot_general(
-                _dot_in(q), draw, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
         loss_ref[0, 0] += total
     return kernel
 
 
-def _dvt_kernel(no_missing, g_ops=1):
+def _dvt_kernel(no_missing, g_ops=1, m_ops=1):
     """Pass 3: dV^T = dXp^T X. Separate from pass 2 because dXp is the
     encoder VJP of pass 2's dq -- a true sequential dependency.
 
@@ -280,10 +334,15 @@ def _dvt_kernel(no_missing, g_ops=1):
         @pl.when(pl.program_id(1) == 0)
         def _():
             dvt_ref[:] = jnp.zeros_like(dvt_ref)
-        x = _unpack_cat(u_refs, no_missing, scale=False)
-        dvt_ref[:] += jax.lax.dot_general(
-            _dot_in(dxp_ref[:]), _dot_in(x), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for mi in range(m_ops):
+            x = _unpack_m(u_refs, mi, no_missing, scale=False, m_ops=m_ops)
+            d = jax.lax.dot_general(
+                _dot_in(dxp_ref[:]), _dot_in(x), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if m_ops == 1:
+                dvt_ref[:] += d
+            else:
+                dvt_ref[:, _msl(mi)] += d
     return kernel
 
 
@@ -301,11 +360,11 @@ def _q_specs(ks, tb, order="bm"):
                          memory_space=pltpu.VMEM) for k in ks]
 
 
-def _p_specs(ks, order="bm"):
+def _p_specs(ks, order="bm", m_ops=1):
     if order == "bm":
-        return [pl.BlockSpec((k, TM), lambda i, j, *_: (0, j),
+        return [pl.BlockSpec((k, m_ops * TM), lambda i, j, *_: (0, j),
                              memory_space=pltpu.VMEM) for k in ks]
-    return [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
+    return [pl.BlockSpec((k, m_ops * TM), lambda j, i, *_: (0, j),
                          memory_space=pltpu.VMEM) for k in ks]
 
 
@@ -356,6 +415,55 @@ def _group_slices(sizes: List[int]) -> List[slice]:
     return out
 
 
+_M_VMEM_BUDGET = 40 << 20
+
+
+def _buffers_bytes(n_heads: int, tbe: int, g_ops: int, m_ops: int) -> int:
+    """Upper bound on a kernel call's scoped-VMEM stack: one (tbe, TM) f32
+    buffer per (head, slab) draw plus per (g, slab) unpacked x. Mosaic
+    does NOT reuse sequentially-dead buffers across the unrolled loops
+    (measured: a 4-head tb=400 call allocates exactly 5 such buffers +
+    24K, the anchor in _heavy_vmem_limit)."""
+    return (n_heads + g_ops) * m_ops * tbe * TM * 4
+
+
+def pick_m(nT: int, tbe: int, n_heads: int = 1, g_ops: int = 1) -> int:
+    """Planar SNP tiles batched per grid step (the M analogue of pick_g).
+
+    Per-pass cost on v5e is ~0.4-0.5 us FIXED per grid step plus a small
+    per-DMA cost (PARITY round-2 grid-step cost model): one (m_ops, tb,
+    TW) block -- m_ops consecutive planar tiles, contiguous chunks of the
+    tile-major layout -- amortizes that fixed cost over m_ops tiles while
+    keeping the DMA count unchanged. Largest divisor of nT (zero waste;
+    ragged M edges never arise) at most the cap, whose draw/x buffer
+    bound fits the 40M scoped-VMEM budget (_buffers_bytes; the allowance
+    is raised per call by _heavy_vmem_limit).
+
+    OPT-IN (default cap 1 = off): measured NEUTRAL end-to-end on v5e at
+    the bench shape (nT=489 -> m_ops=3, grid steps cut 3x across all
+    passes: 3 interleaved reps 98.2-103.5k samples/s m=1 vs 99.3-101.6k
+    m=3, tools/ab_m_ops.py, PARITY round-5) -- the predicted ~0.5 ms/step
+    fixed-cost saving does not materialize, so the historical program
+    stays the default. NA_TPU_M_OPS=<cap> enables for A/B (0/1 = off),
+    read at trace time; may win on other TPU generations or shapes."""
+    env = os.environ.get("NA_TPU_M_OPS", "").strip()
+    if env:
+        try:
+            cap = int(env)
+        except ValueError:
+            raise ValueError(
+                f"NA_TPU_M_OPS must be an integer, got {env!r}") from None
+        cap = max(1, cap)
+    else:
+        cap = 1
+    best = 1
+    for m in range(1, min(nT, cap) + 1):
+        if nT % m == 0 and _buffers_bytes(n_heads, tbe, g_ops,
+                                          m) <= _M_VMEM_BUDGET:
+            best = m
+    return best
+
+
 def pick_g(nbk: int, blk: int, cap: int = INDEXED_TB_CAP) -> int:
     """Sampled blocks DMA'd per grid step in indexed (gather-free) mode.
 
@@ -372,16 +480,18 @@ def pick_g(nbk: int, blk: int, cap: int = INDEXED_TB_CAP) -> int:
     return best
 
 
-def _u32_specs(tb, order="bm", indexed=False, g_ops=1):
+def _u32_specs(tb, order="bm", indexed=False, g_ops=1, m_ops=1):
     """The packed-batch operand specs (g_ops of them when indexed).
 
     Plain mode: the gathered TILE-MAJOR (nT, B, TW) batch, each
-    (1, tb, TW) block one contiguous DMA (row-major (B, W4) layout reads
-    512-byte strided strips, capping HBM efficiency at ~8%% -- measured in
-    tools/tune_unpack.py). Indexed mode: the RESIDENT (nT, R, TW) array
-    passed g_ops times; batch grid position i DMAs row-blocks
-    idx[i*g_ops + m] (tb == sample_block, block-aligned), which the kernel
-    concatenates into one (g_ops*tb)-row tile."""
+    (m_ops, tb, TW) block -- m_ops consecutive planar tiles (pick_m),
+    each tile's rows one contiguous DMA chunk (row-major (B, W4) layout
+    reads 512-byte strided strips, capping HBM efficiency at ~8%% --
+    measured in tools/tune_unpack.py). Indexed mode: the RESIDENT
+    (nT, R, TW) array passed g_ops times; batch grid position i DMAs
+    row-blocks idx[i*g_ops + m] (tb == sample_block, block-aligned),
+    which the kernel concatenates into one (g_ops*tb)-row tile
+    (m_ops == 1 there: the two batchings are exclusive)."""
     if indexed:
         if order == "bm":
             return [pl.BlockSpec(
@@ -393,41 +503,43 @@ def _u32_specs(tb, order="bm", indexed=False, g_ops=1):
             (lambda j, i, idx, m=m: (j, idx[i * g_ops + m], 0)),
             memory_space=pltpu.VMEM) for m in range(g_ops)]
     if order == "bm":
-        return [pl.BlockSpec((1, tb, TW), lambda i, j, *_: (j, i, 0),
+        return [pl.BlockSpec((m_ops, tb, TW), lambda i, j, *_: (j, i, 0),
                              memory_space=pltpu.VMEM)]
-    return [pl.BlockSpec((1, tb, TW), lambda j, i, *_: (j, i, 0),
+    return [pl.BlockSpec((m_ops, tb, TW), lambda j, i, *_: (j, i, 0),
                          memory_space=pltpu.VMEM)]
 
 
-def _mask_specs(tb, order="bm"):
+def _mask_specs(tb, order="bm", m_ops=1):
     """Specs for (col_mask, row_weight) -- masked variant only."""
     if order == "bm":
         return [
-            pl.BlockSpec((1, TM), lambda i, j, *_: (0, j),
+            pl.BlockSpec((1, m_ops * TM), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
     return [
-        pl.BlockSpec((1, TM), lambda j, i, *_: (0, j),
+        pl.BlockSpec((1, m_ops * TM), lambda j, i, *_: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tb, 1), lambda j, i, *_: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
 
 
-def _heavy_vmem_limit(n_heads: int, tbe: int, g_ops: int):
+def _heavy_vmem_limit(n_heads: int, tbe: int, g_ops: int, m_ops: int = 1):
     """Scoped-VMEM allowance for a heavy (draw-buffer) kernel call.
 
-    Mosaic stack-allocates one (tbe, TM) f32 draw buffer per head plus the
-    unpacked x (g_ops concatenated blocks) against a DEFAULT 16M scoped-
-    vmem limit -- a compiler default, not hardware (v5e has 128M VMEM and
-    this op's block operands/outputs are <2M per grid step). Measured
-    anchor: a 4-head tb=400 call needs 16.41M, exactly (heads+1) * tbe *
-    TM * 4 + epsilon; the single-head tb=800 program that pick_tb's
-    docstring recorded as failing at 20.05M compiles and runs once the
-    allowance covers it. Returns None (use the default) when the estimate
-    has comfortable margin, else 2x the estimate + 4M, capped at 100M.
+    Mosaic stack-allocates one (tbe, TM) f32 buffer per (head, slab) draw
+    plus the per-(g, slab) unpacked x against a DEFAULT 16M scoped-vmem
+    limit -- a compiler default, not hardware (v5e has 128M VMEM and this
+    op's block operands/outputs are <2M per grid step). Measured anchor:
+    a 4-head tb=400 call needs 16.41M, exactly _buffers_bytes + epsilon;
+    the single-head tb=800 program that pick_tb's docstring recorded as
+    failing at 20.05M compiles and runs once the allowance covers it.
+    Returns None (use the default) when the estimate has comfortable
+    margin, else 2x the estimate + 4M, capped at 100M (pick_m's 40M buffer
+    budget keeps the doubled allowance under the cap with headroom --
+    the tb=800 anchor shows true need can reach ~2.5x the bound).
     NA_TPU_VMEM_LIMIT_MB forces a specific allowance (0 = never raise).
     """
     env = os.environ.get("NA_TPU_VMEM_LIMIT_MB", "").strip()
@@ -439,7 +551,7 @@ def _heavy_vmem_limit(n_heads: int, tbe: int, g_ops: int):
                 f"NA_TPU_VMEM_LIMIT_MB must be an integer, got {env!r}"
             ) from None
         return mb << 20 if mb > 0 else None
-    est = (n_heads + g_ops) * tbe * TM * 4
+    est = _buffers_bytes(n_heads, tbe, g_ops, m_ops)
     if est <= 12 << 20:
         return None
     return min(2 * est + (4 << 20), 100 << 20)
@@ -486,15 +598,16 @@ def _batch_geom(u32, tb, blk_idx):
 def _xv_call(u32, V, tb, no_missing=False, blk_idx=None):
     nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad, D = V.shape
+    mo = 1 if blk_idx is not None else pick_m(u32.shape[0], tbe, 1, g)
     # dense (D, TM) operand blocks (see _xv_kernel docstring), pre-halved:
     # the kernel unpacks RAW dosages and XLA fuses the 0.5 into this
     # transpose, saving one VPU multiply per genotype, bit-exact.
     vt = V.T * 0.5
     xpt = _maybe_indexed_call(
-        _xv_kernel(no_missing, g),
-        grid=(nB, m_pad // TM),
-        in_specs=(_u32_specs(tb, "bm", blk_idx is not None, g)
-                  + [pl.BlockSpec((D, TM), lambda i, j, *_: (0, j),
+        _xv_kernel(no_missing, g, mo),
+        grid=(nB, m_pad // (TM * mo)),
+        in_specs=(_u32_specs(tb, "bm", blk_idx is not None, g, mo)
+                  + [pl.BlockSpec((D, mo * TM), lambda i, j, *_: (0, j),
                                   memory_space=pltpu.VMEM)]),
         out_specs=pl.BlockSpec((1, D, tbe), lambda i, j, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -503,6 +616,8 @@ def _xv_call(u32, V, tb, no_missing=False, blk_idx=None):
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         blk_idx=blk_idx,
+        # mo == 1 keeps the historical program (no allowance, fits 16M)
+        vmem_limit=_heavy_vmem_limit(1, tbe, g, mo) if mo > 1 else None,
     )(*u_ops, vt)
     return xpt.transpose(0, 2, 1).reshape(B, D)
 
@@ -512,15 +627,16 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True,
     ks = [q.shape[1] for q in qs]
     nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
+    mo = 1 if blk_idx is not None else pick_m(u32.shape[0], tbe, len(ks), g)
     operands = ((*qs, *Ps, *u_ops, cm2, rw2) if masked
                 else (*qs, *Ps, *u_ops))
     out = _maybe_indexed_call(
-        _loss_kernel(len(ks), no_missing, masked, g),
-        grid=(nB, m_pad // TM),
+        _loss_kernel(len(ks), no_missing, masked, g, mo),
+        grid=(nB, m_pad // (TM * mo)),
         in_specs=(_q_specs(ks, tbe)
-                  + _p_specs(ks)
-                  + _u32_specs(tb, "bm", blk_idx is not None, g)
-                  + (_mask_specs(tbe) if masked else [])),
+                  + _p_specs(ks, m_ops=mo)
+                  + _u32_specs(tb, "bm", blk_idx is not None, g, mo)
+                  + (_mask_specs(tbe, m_ops=mo) if masked else [])),
         out_specs=pl.BlockSpec((1, 1), lambda i, j, *_: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -529,7 +645,7 @@ def _loss_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False, masked=True,
             bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
         blk_idx=blk_idx,
-        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g),
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g, mo),
     )(*operands)
     return out[0, 0]
 
@@ -539,21 +655,23 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True,
     ks = [q.shape[1] for q in qs]
     nB, tbe, g_ops, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
+    mo = (1 if blk_idx is not None
+          else pick_m(u32.shape[0], tbe, len(ks), g_ops))
     g2 = jnp.asarray(g, jnp.float32).reshape(1, 1)
     operands = ((*qs, *Ps, *u_ops, cm2, rw2, g2) if masked
                 else (*qs, *Ps, *u_ops, g2))
     outs = _maybe_indexed_call(
-        _dq_dp_kernel(len(ks), no_missing, masked, g_ops),
-        grid=(m_pad // TM, nB),
+        _dq_dp_kernel(len(ks), no_missing, masked, g_ops, mo),
+        grid=(m_pad // (TM * mo), nB),
         in_specs=(_q_specs(ks, tbe, "mb")
-                  + _p_specs(ks, "mb")
-                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops)
-                  + (_mask_specs(tbe, "mb") if masked else [])
+                  + _p_specs(ks, "mb", mo)
+                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops, mo)
+                  + (_mask_specs(tbe, "mb", mo) if masked else [])
                   + [pl.BlockSpec((1, 1), lambda j, i, *_: (0, 0),
                                   memory_space=pltpu.SMEM)]),
         out_specs=([pl.BlockSpec((nB, k, tbe), lambda j, i, *_: (0, 0, 0),
                                  memory_space=pltpu.VMEM) for k in ks]
-                   + [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
+                   + [pl.BlockSpec((k, mo * TM), lambda j, i, *_: (0, j),
                                    memory_space=pltpu.VMEM) for k in ks]),
         out_shape=([jax.ShapeDtypeStruct((nB, k, tbe), jnp.float32)
                     for k in ks]
@@ -563,7 +681,7 @@ def _dq_dp_call(qs, Ps, u32, cm2, rw2, g, tb, no_missing=False, masked=True,
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         blk_idx=blk_idx,
-        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops),
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops, mo),
     )(*operands)
     ks_n = len(ks)
     dqs = [o.transpose(0, 2, 1).reshape(B, k)
@@ -578,20 +696,22 @@ def _loss_dq_dp_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False,
     ks = [q.shape[1] for q in qs]
     nB, tbe, g_ops, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
+    mo = (1 if blk_idx is not None
+          else pick_m(u32.shape[0], tbe, len(ks), g_ops))
     operands = ((*qs, *Ps, *u_ops, cm2, rw2) if masked
                 else (*qs, *Ps, *u_ops))
     outs = _maybe_indexed_call(
-        _loss_dq_dp_kernel(len(ks), no_missing, masked, g_ops),
-        grid=(m_pad // TM, nB),
+        _loss_dq_dp_kernel(len(ks), no_missing, masked, g_ops, mo),
+        grid=(m_pad // (TM * mo), nB),
         in_specs=(_q_specs(ks, tbe, "mb")
-                  + _p_specs(ks, "mb")
-                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops)
-                  + (_mask_specs(tbe, "mb") if masked else [])),
+                  + _p_specs(ks, "mb", mo)
+                  + _u32_specs(tb, "mb", blk_idx is not None, g_ops, mo)
+                  + (_mask_specs(tbe, "mb", mo) if masked else [])),
         out_specs=([pl.BlockSpec((1, 1), lambda j, i, *_: (0, 0),
                                  memory_space=pltpu.SMEM)]
                    + [pl.BlockSpec((nB, k, tbe), lambda j, i, *_: (0, 0, 0),
                                    memory_space=pltpu.VMEM) for k in ks]
-                   + [pl.BlockSpec((k, TM), lambda j, i, *_: (0, j),
+                   + [pl.BlockSpec((k, mo * TM), lambda j, i, *_: (0, j),
                                    memory_space=pltpu.VMEM) for k in ks]),
         out_shape=([jax.ShapeDtypeStruct((1, 1), jnp.float32)]
                    + [jax.ShapeDtypeStruct((nB, k, tbe), jnp.float32)
@@ -602,7 +722,7 @@ def _loss_dq_dp_call(qs, Ps, u32, cm2, rw2, tb, no_missing=False,
             flops=B * m_pad * 6 * sum(ks), bytes_accessed=B * m_pad // 4,
             transcendentals=2 * B * m_pad * len(ks)),
         blk_idx=blk_idx,
-        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops),
+        vmem_limit=_heavy_vmem_limit(len(ks), tbe, g_ops, mo),
     )(*operands)
     ks_n = len(ks)
     loss = outs[0][0, 0]
@@ -615,22 +735,25 @@ def _dv_call(u32, dXp, tb, no_missing=False, blk_idx=None):
     nB, tbe, g, B, u_ops = _batch_geom(u32, tb, blk_idx)
     m_pad = u32.shape[0] * TM
     D = dXp.shape[1]
+    mo = 1 if blk_idx is not None else pick_m(u32.shape[0], tbe, 1, g)
     # the kernel unpacks RAW dosages; halve the tiny (B, D) cotangent once
     # here instead of scaling every unpacked genotype (bit-exact).
     dXp = dXp * 0.5
     dvt = _maybe_indexed_call(
-        _dvt_kernel(no_missing, g),
-        grid=(m_pad // TM, nB),
-        in_specs=(_u32_specs(tb, "mb", blk_idx is not None, g)
+        _dvt_kernel(no_missing, g, mo),
+        grid=(m_pad // (TM * mo), nB),
+        in_specs=(_u32_specs(tb, "mb", blk_idx is not None, g, mo)
                   + [pl.BlockSpec((tbe, D), lambda j, i, *_: (i, 0),
                                   memory_space=pltpu.VMEM)]),
-        out_specs=pl.BlockSpec((D, TM), lambda j, i, *_: (0, j),
+        out_specs=pl.BlockSpec((D, mo * TM), lambda j, i, *_: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((D, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * m_pad * D, bytes_accessed=B * m_pad // 4,
             transcendentals=0),
         blk_idx=blk_idx,
+        # mo == 1 keeps the historical program (no allowance, fits 16M)
+        vmem_limit=_heavy_vmem_limit(1, tbe, g, mo) if mo > 1 else None,
     )(*u_ops, dXp)
     return dvt.T
 
