@@ -172,7 +172,13 @@ def _parse_difflist(rec: np.ndarray, pos: int, n: int
             ids[g * 64 + 1:g * 64 + size] = starts[g] + np.cumsum(
                 deltas[d0:d0 + size - 1])
         d0 += size - 1
-    if ids[-1] >= n or (L > 1 and (np.diff(ids) <= 0).any()):
+    # EVERY id must be bounds-checked, not just the last: int64 cumsum
+    # wraps silently in numpy, so 63 crafted huge deltas can wrap the
+    # running sum back under n with all pairwise diffs positive -- the
+    # final-id check alone would accept and then crash (IndexError) on
+    # the fancy-indexed assignment instead of rejecting cleanly.
+    if (ids < 0).any() or (ids >= n).any() \
+            or (L > 1 and (np.diff(ids) <= 0).any()):
         raise ValueError("PGEN difflist sample ids not strictly "
                          "increasing within bounds")
     return ids, vals, pos
@@ -217,14 +223,6 @@ class StandardPgen:
         self.N = int(np.frombuffer(hdr[7:11], "<u4")[0])
         if self.M == 0 or self.N == 0:
             raise ValueError(f"{path}: empty PGEN ({self.M} x {self.N})")
-        if self.M > 2 * os.path.getsize(self._index_path):
-            # Even the smallest index spends >= half a byte per variant
-            # (4-bit vrtypes), and storage-8 records are >= 1 byte each:
-            # a header claiming more variants than that is corrupt. Also
-            # keeps corrupt headers from driving giant allocations below.
-            raise ValueError(
-                f"{path}: variant count {self.M} is impossible for a "
-                f"{os.path.getsize(self._index_path)}-byte file")
         fmt = hdr[11]
         storage = fmt & 0x0F
         self._ac_b = (fmt >> 4) & 3
@@ -237,11 +235,28 @@ class StandardPgen:
                     "layout this reader does not support; install "
                     "pgenlib.")
             # Storage 8: every record is a plain 2-bit hardcall; no
-            # offset array or block index exists.
+            # offset array or block index exists (so the index-file size
+            # says nothing about M -- a mode-0x11 .pgi is 12 bytes).
+            # Bound M by the record file BEFORE the (M+1)-sized
+            # allocation below so a corrupt header fails cheaply.
+            need = data_start + self.M * (-(-self.N // 4))
+            if need > os.path.getsize(path):
+                raise ValueError(
+                    f"{path}: PGEN truncated ({self.M} fixed-width "
+                    f"records need {need} bytes, file has "
+                    f"{os.path.getsize(path)})")
             self.vrtypes = np.zeros(self.M, np.uint8)
             self.rec_pos = data_start + (-(-self.N // 4)) * np.arange(
                 self.M + 1, dtype=np.int64)
         else:
+            if self.M > 2 * os.path.getsize(self._index_path):
+                # The smallest index spends >= half a byte per variant
+                # (4-bit vrtypes): a header claiming more variants than
+                # that is corrupt. Also keeps corrupt headers from
+                # driving giant allocations in _load_index.
+                raise ValueError(
+                    f"{path}: variant count {self.M} is impossible for a "
+                    f"{os.path.getsize(self._index_path)}-byte file")
             self._vrtype8 = bool(storage & 4)
             self._len_b = (storage & 3) + 1
             self._load_index()
@@ -484,13 +499,26 @@ def write_pgen_standard(path: str, G: np.ndarray, psam: bool = True,
         and 0 <= allele_ct_bytes <= 3
 
     if fixed_width:
-        assert mode == 0x10 and not allele_ct_bytes and nonref_code != 3, \
+        assert not allele_ct_bytes and nonref_code != 3, \
             "storage code 8 stores no index to put aux fields in"
-        with open(path, "wb") as fh:
+
+        def _header(fh):
             fh.write(MAGIC + bytes([mode]))
             fh.write(np.asarray([M], "<u4").tobytes())
             fh.write(np.asarray([N], "<u4").tobytes())
             fh.write(bytes([8 | (nonref_code << 6)]))
+
+        if mode == 0x11:
+            # Separate-index layout: the 12-byte header IS the whole
+            # .pgi (storage 8 has no offsets/index); records follow the
+            # 3 magic/mode bytes in the .pgen.
+            with open(path + ".pgi", "wb") as fh:
+                _header(fh)
+        with open(path, "wb") as fh:
+            if mode == 0x11:
+                fh.write(MAGIC + bytes([mode]))
+            else:
+                _header(fh)
             for v in range(M):
                 fh.write(_pack2(G[:, v]).tobytes())
         if psam:

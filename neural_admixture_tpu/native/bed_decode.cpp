@@ -229,6 +229,12 @@ int parse_difflist(const uint8_t* rec, int64_t len, int64_t* p, int64_t N,
             int64_t d;
             rc = read_vint(rec, len, p, &d);
             if (rc) return rc;
+            // A valid delta is in [1, N): ids are strictly increasing in
+            // [0, N). Rejecting here (not only at the post-hoc monotone
+            // check) keeps `prev + d` far from int64 overflow -- a
+            // crafted 9-byte vint delta could otherwise make the sum
+            // undefined behavior before the check runs.
+            if (d <= 0 || d >= N) return -2;
             prev += d;
             ids[g * 64 + i] = prev;
         }

@@ -54,12 +54,18 @@ _TB_WARNED = set()
 
 def _heavy_cap(n_heads: int) -> int:
     # Multi-head keeps the 400 cap as long as the per-head draw buffers fit
-    # the raised scoped-VMEM allowance (fused_step._heavy_vmem_limit caps at
-    # 100M; (n+1) buffers of 400*TM*4 = 3.28M each -> n <= 26 heads). The
-    # pre-round-5 256 cap assumed the 16M default allowance was a wall; it
-    # is a compiler default, and one call at tb=400 with the allowance
-    # raised measured +4.7% over tb=200 at 9 heads (PARITY round-5).
-    default = 400 if (n_heads + 1) * 400 * TM * 4 <= 90 << 20 else 256
+    # the raised scoped-VMEM allowance with 2x headroom: the allowance is
+    # min(2 * estimate + 4M, 100M) (fused_step._heavy_vmem_limit) and true
+    # need has measured up to ~2.5x the (buffers * 400*TM*4) estimate (the
+    # tb=800 anchor), so the cap stays 400 only while the DOUBLED estimate
+    # fits the 100M ceiling -- (n+2) buffers (draws + x + mask_rw) of
+    # 3.28M -> n <= 12 heads; beyond that fall back to the always-safe
+    # 256 rather than risk a trace-time compile failure. The pre-round-5
+    # 256 cap assumed the 16M default allowance was a wall; it is a
+    # compiler default, and one call at tb=400 with the allowance raised
+    # measured +4.7% over tb=200 at 9 heads (PARITY round-5).
+    default = 400 if 2 * (n_heads + 2) * 400 * TM * 4 + (4 << 20) \
+        <= 100 << 20 else 256
     env = os.environ.get("NA_TPU_TB_HEAVY", "").strip()
     if env:
         try:
@@ -119,7 +125,7 @@ def pick_tb(B: int, n_heads: int = 1, cap: int = None) -> int:
     tiles crowd out operand double-buffering. Multi-head ALSO caps at 400
     (one call, shared unpack, raised allowance): 21.2k vs 20.2k samples/s
     at 9 heads (+4.7%, PARITY round-5; the pre-round-5 256 cap treated
-    the 16M default as a wall). Beyond 26 heads the allowance cap (100M)
+    the 16M default as a wall). Beyond 12 heads the allowance cap (100M)
     binds and the cap falls back to 256.
 
     NA_TPU_TB_HEAVY overrides both for A/B. The override is read at TRACE

@@ -3,11 +3,11 @@ all-heads-one-call program.
 
 ops.fused_step.head_group_plan splits the heads into S groups, one heavy
 pallas call each (VERDICT r4 #7; measured inferior to the default
-one-call-wide program on v5e, kept as an A/B knob and the >26-head
+one-call-wide program on v5e, kept as an A/B knob and the >12-head
 fallback -- PARITY round-5). Grouping changes ONLY float accumulation
 order: per-head dq/dp math is independent inside the kernel, so splitting
 the head loop across calls is a pure re-association (plus a possibly
-different tile width when group sizes straddle the 26-head cap
+different tile width when group sizes straddle the 12-head cap
 boundary). These tests pin loss and every gradient leaf between grouped
 and ungrouped programs at f32 re-association tolerance -- an O(1)
 head-slicing or ordering bug cannot hide inside it.

@@ -412,6 +412,32 @@ def test_standard_mode_fixed_width_storage8(tmp_path):
     np.testing.assert_array_equal(read_pgen(path), G)
 
 
+def test_standard_mode_fixed_width_0x11(tmp_path):
+    """Storage code 8 under the mode-0x11 split layout: the 12-byte .pgi
+    IS the whole index, so the variant-count sanity check must bound M by
+    the RECORD file, not the index file (an M > 24 fixed-width 0x11 file
+    was falsely rejected as 'impossible for a 12-byte file')."""
+    from neural_admixture_tpu.io.pgen_standard import (StandardPgen,
+                                                       write_pgen_standard)
+    G = _geno(N=17, M=90, seed=2)   # M far beyond 2 * 12-byte index
+    path = str(tmp_path / "fixed11.pgen")
+    write_pgen_standard(path, G, fixed_width=True, mode=0x11)
+    assert (tmp_path / "fixed11.pgen.pgi").stat().st_size == 12
+    assert (tmp_path / "fixed11.pgen").stat().st_size == 3 + 90 * 5
+    r = StandardPgen(path)
+    assert r.mode == 0x11 and (r.N, r.M) == G.shape
+    np.testing.assert_array_equal(r.read_block(0, r.M).T, G)
+    np.testing.assert_array_equal(r.read_block(30, 60).T, G[:, 30:60])
+    np.testing.assert_array_equal(read_pgen(path), G)
+    # corrupt-header bound: more variants than the record file can hold
+    # must fail cheaply, not allocate
+    with open(str(tmp_path / "fixed11.pgen.pgi"), "r+b") as fh:
+        fh.seek(3)
+        fh.write(np.asarray([10 ** 8], "<u4").tobytes())
+    with pytest.raises(ValueError, match="truncated"):
+        StandardPgen(path)
+
+
 @pytest.mark.parametrize("nonref_code,ac_bytes", [(1, 0), (2, 0), (3, 0),
                                                   (0, 1), (3, 2)])
 def test_standard_mode_header_aux_fields(tmp_path, nonref_code, ac_bytes):

@@ -183,3 +183,31 @@ def test_fuzz_mode_0x11_index(tmp_path):
         if _check_agreement(path, n_read)[0] == "reject":
             n_reject += 1
     assert n_reject > 25
+
+
+def test_wrapping_difflist_deltas_reject_cleanly(tmp_path):
+    """Hand-crafted int64-wrapping difflist: four 2^62 deltas sum to 2^64,
+    so the running sample-id cumsum wraps back to the start id with every
+    PAIRWISE diff positive (int64 subtraction wraps back to the positive
+    delta) and the FINAL id in bounds. A decoder that only checks the
+    last id + diffs accepts this and then crashes (IndexError on the
+    fancy-indexed assignment in Python; int64-overflow UB in C++).
+    Both paths must instead reject it as a clean ValueError and agree."""
+    N, M = 100, 1
+    vint_2_62 = b"\x80" * 8 + b"\x40"   # LEB128 of 1 << 62
+    rec = bytes([5])                    # difflist length L = 5
+    rec += bytes([0])                   # group-start sample id 0 (1 byte)
+    rec += bytes([0b01010101, 0b00000001])  # ceil(5/4) raregeno bytes
+    rec += vint_2_62 * 4                # deltas: cumsum wraps to 0
+    path = str(tmp_path / "wrap.pgen")
+    with open(path, "wb") as fh:
+        fh.write(b"\x6c\x1b\x10")
+        fh.write(np.asarray([M], "<u4").tobytes())
+        fh.write(np.asarray([N], "<u4").tobytes())
+        fh.write(bytes([0x04]))         # 8-bit vrtypes, 1-byte lengths
+        fh.write(np.asarray([12 + 8 + 1 + 1], "<u8").tobytes())
+        fh.write(bytes([4]))            # vrtype 4: difflist vs all-hom-ref
+        fh.write(bytes([len(rec)]))
+        fh.write(rec)
+    assert _decode_pure(path, M)[0] == "reject"
+    assert _check_agreement(path, M)[0] == "reject"

@@ -32,9 +32,13 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 # heavy calls; NA_TPU_HEAD_GROUPS splits them. The raised VMEM allowance
 # engages automatically whenever the (heads+1)*tb*TM*4 estimate outgrows
 # the 16M default (ops.fused_step._heavy_vmem_limit).
+# NOTE: the measurements recorded in PARITY round-5 ran BEFORE commit
+# a51a654 flipped the multi-head default cap to 400; since then the
+# empty-env multi-head leg compiles the tb=400 program, so the pre-r5
+# tb=200 baseline needs NA_TPU_TB_HEAVY=256 pinned explicitly.
 LEGS = [
-    ("mh_default_tb200", MH, {}),
-    ("mh_1call_tb400", MH, {"NA_TPU_TB_HEAVY": "400"}),
+    ("mh_tb256_pre_r5_default", MH, {"NA_TPU_TB_HEAVY": "256"}),
+    ("mh_1call_tb400_default", MH, {}),
     ("mh_2groups_tb400", MH, {"NA_TPU_HEAD_GROUPS": "2"}),
     ("mh_1call_tb800", MH, {"NA_TPU_TB_HEAVY": "800"}),
     ("sh_default_tb400", [8], {}),

@@ -2,11 +2,17 @@
 single-head bench workload.
 
 At the bench shape (1M SNPs -> nT=489=3*163 planar tiles, B=800, tb=400)
-the auto pick batches 3 tiles per grid step in every packed-plane kernel,
+NA_TPU_M_OPS=8 picks 3 tiles per grid step in every packed-plane kernel,
 cutting grid steps 3x: xv 489->163, dq_dp 978->326, dv 489->163 per step,
 against the measured ~0.4-0.5 us fixed cost per grid step (PARITY round-2
 cost model). Multi-head at 9 heads keeps m_ops=1 (VMEM budget), so only
 the single-head headline is at stake. Interleaved repeats.
+
+MEASURED NEUTRAL (2026-08-20, 3 reps: 98.2-103.5k samples/s m=1 vs
+99.3-101.6k m=3) -- that measurement ran while m batching was default-ON;
+the default has since been flipped to opt-in, so the enabled leg here
+now sets NA_TPU_M_OPS=8 explicitly (env unset would measure the m=1
+program twice and report noise as a comparison).
 
 Usage: python tools/ab_m_ops.py [reps]
 """
@@ -22,7 +28,7 @@ import bench  # noqa: E402
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 LEGS = [("sh_m1", {"NA_TPU_M_OPS": "1"}),
-        ("sh_auto_m3", {})]
+        ("sh_m3", {"NA_TPU_M_OPS": "8"})]
 
 
 def main():
