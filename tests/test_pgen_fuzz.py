@@ -133,8 +133,13 @@ def _mutate(rng, raw, kind):
     {},                            # 8-bit vrtypes (default)
     {"idx_enc": 0},                # 4-bit vrtypes
     {"nonref_code": 3},            # index carries a nonref bitarray
+    {"fixed_width": True},         # storage code 8 (no index at all)
+    {"fixed_width": True, "mode": 0x11},   # storage 8 + separate .pgi
 ])
 def test_fuzz_decoders_agree_and_never_crash(tmp_path, fixture_kw):
+    import os
+    import shutil
+
     path, G = _fixture(tmp_path, **fixture_kw)
     raw = open(path, "rb").read()
     n_read = DIMS[1]
@@ -146,6 +151,8 @@ def test_fuzz_decoders_agree_and_never_crash(tmp_path, fixture_kw):
 
     rng = np.random.default_rng(1234)
     mut_path = str(tmp_path / "mut.pgen")
+    if os.path.exists(path + ".pgi"):   # 0x11: records mutate, index intact
+        shutil.copy(path + ".pgi", mut_path + ".pgi")
     n_ok = n_reject = 0
     for trial in range(400):
         mut = _mutate(rng, raw, trial % 5)
