@@ -272,3 +272,74 @@ def test_two_process_vcf_input(tmp_path):
     P2 = np.loadtxt(multi / f"mh.{K}.P")
     np.testing.assert_allclose(Q2, Q1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(P2, P1, rtol=1e-4, atol=1e-5)
+
+
+def test_two_process_supervised_convergence(tmp_path):
+    """Supervised mode (--pops_path) under a real 2-process run: every
+    host reads the full label file, the per-class supervised P init runs
+    on each host's packed ROW BLOCK (train.init.init_p_supervised_packed
+    rows=), and the weighted CE term flows through the sharded step.
+    This was the one 2-process CLI matrix cell with no coverage.
+
+    The gate is FUNCTIONAL (label recovery), not element-wise equality
+    with the single-process run, deliberately: the supervised per-class-
+    mean init sits near gradient-symmetric points, where Adam's
+    normalized first steps (update = +-lr at any near-zero gradient)
+    amplify the legitimate sharded-vs-single reduction-order ulps
+    (~1e-5, measured) into O(lr) trajectory divergence -- measured
+    5.7e-2 Q divergence after ONE epoch even with the CE weight forced
+    to 0, while (a) the supervised and unsupervised programs produce
+    BIT-IDENTICAL gradients at CE weight 0, (b) the lr->0 outputs of
+    single and 2-process supervised runs match to file precision (init
+    identical), and (c) both runs converge to perfect label recovery.
+    The unsupervised element-wise comparisons above stay valid because
+    the GMM init keeps gradients away from Adam's sign-sensitive zero
+    region on those fixtures."""
+    rng = np.random.default_rng(5)
+    N, M = 120, 256
+    # two populations with well-separated per-SNP allele frequencies
+    freqs = rng.beta(0.5, 0.5, size=(K, M))
+    labels = np.arange(N) % K
+    draws = (rng.random((2, N, M)) < freqs[labels]).astype(np.uint8)
+    G = draws[0] + draws[1]
+    code_of = np.array([3, 2, 0, 1], dtype=np.uint8)
+    B = np.zeros((M, (N + 3) // 4), dtype=np.uint8)
+    for n in range(N):
+        B[:, n // 4] |= code_of[G[n]] << np.uint8(2 * (n % 4))
+    bed = tmp_path / "sup.bed"
+    bed.write_bytes(b"\x6c\x1b\x01" + B.tobytes())
+    (tmp_path / "sup.fam").write_text(
+        "".join(f"f{i} i{i} 0 0 0 -9\n" for i in range(N)))
+    (tmp_path / "sup.bim").write_text(
+        "".join(f"1 snp{j} 0 {j} A C\n" for j in range(M)))
+    pops = tmp_path / "sup.pops"
+    pops.write_text("\n".join(f"Pop{l + 1}" for l in labels) + "\n")
+
+    def cli(out_dir, name):
+        c = _cli(out_dir, name, data=bed) + ["--pops_path", str(pops)]
+        c[c.index("--epochs") + 1] = "40"   # CE needs room to bind
+        return c
+
+    single, multi = tmp_path / "single", tmp_path / "multi"
+    outs = _spawn_pair(lambda: cli(multi, "mh"))
+    assert "Running Supervised Mode..." in outs[1], outs[1][-2000:]
+    assert "this one holds rows [0, 60)" in outs[1], outs[1][-2000:]
+    assert "this one holds rows [60, 120)" in outs[0], outs[0][-2000:]
+
+    ref = subprocess.run(cli(single, "sp"), env=_env({}), timeout=420,
+                         capture_output=True, text=True)
+    assert ref.returncode == 0, ref.stdout[-3000:] + ref.stderr[-2000:]
+    assert "Running Supervised Mode..." in ref.stdout
+
+    # supervision must bind WITHOUT permutation matching (the supervised
+    # init aligns Q columns to label indices) in BOTH runs
+    Q1 = np.loadtxt(single / f"sp.{K}.Q")
+    Q2 = np.loadtxt(multi / f"mh.{K}.Q")
+    assert (Q1.argmax(1) == labels).mean() >= 0.95, \
+        (Q1.argmax(1) == labels).mean()
+    assert (Q2.argmax(1) == labels).mean() >= 0.95, \
+        (Q2.argmax(1) == labels).mean()
+    # at convergence both P matrices approach the class mean genotypes
+    P1 = np.loadtxt(single / f"sp.{K}.P")
+    P2 = np.loadtxt(multi / f"mh.{K}.P")
+    assert np.abs(P1 - P2).mean() < 0.02, np.abs(P1 - P2).mean()
