@@ -10,10 +10,10 @@ must resolve shapes users never specify.
 import numpy as np
 import pytest
 
+from tests.conftest import assert_trajectory_close
 from neural_admixture_tpu.io.packed import pack_with_padding
 from neural_admixture_tpu.train.engine import (NeuralAdmixtureTrainer,
                                                TrainConfig)
-
 
 def _run(G, V, P_init, ks, mesh_shape, use_pallas, pops=None):
     cfg = TrainConfig(epochs=2, batch_size=16, learning_rate=1e-2, seed=0,
@@ -39,9 +39,9 @@ def test_pallas_mesh_engine_matches_single_device(mesh_shape):
     Qs_m, Ps_m, _ = _run(G, V, P_init, ks, mesh_shape, use_pallas=True)
 
     for q1, qm in zip(Qs_1, Qs_m):
-        np.testing.assert_allclose(qm, q1, rtol=5e-3, atol=5e-4)
+        assert_trajectory_close(qm, q1, lr=1e-2)
     for p1, pm in zip(Ps_1, Ps_m):
-        np.testing.assert_allclose(pm, p1, rtol=5e-3, atol=5e-4)
+        assert_trajectory_close(pm, p1, lr=1e-2)
 
 
 def test_auto_mesh_policy_engages_snp_axis_under_pressure(monkeypatch):

@@ -128,7 +128,9 @@ def test_grouped_engine_training_matches(monkeypatch):
         tr = NeuralAdmixtureTrainer(cfg)
         return tr.launch_training(P_init.copy(), packed, V, M, N)
 
+    from tests.conftest import assert_trajectory_close
+
     Qs_1, Ps_1, _ = train(0)
     Qs_2, Ps_2, _ = train(2)
     for a, b in zip(Qs_1 + Ps_1, Qs_2 + Ps_2):
-        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+        assert_trajectory_close(a, b, lr=1e-2, atol=5e-5)

@@ -143,7 +143,9 @@ def test_m_batched_engine_training_matches(monkeypatch):
         tr = NeuralAdmixtureTrainer(cfg)
         return tr.launch_training(P_init.copy(), packed, V, M, N)
 
+    from tests.conftest import assert_trajectory_close
+
     Qs_1, Ps_1, _ = train("1")
     Qs_4, Ps_4, _ = train("8")
     for a, b in zip(Qs_1 + Ps_1, Qs_4 + Ps_4):
-        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+        assert_trajectory_close(a, b, lr=1e-2, atol=5e-5)
